@@ -1,0 +1,117 @@
+"""YIN fundamental-frequency estimation in pure JAX.
+
+A dependency-free F0 extractor that works out of the box (the CREPE
+port in ``models/crepe.py`` is the higher-accuracy path but needs a
+converted pretrained weight file). Serves the role of the reference's
+pYIN alternative (``data/utils/f0_extraction.py:60-92``), rebuilt
+TPU-style: every frame's difference function is computed at once via
+batched FFT autocorrelation, so a whole corpus pitch-tracks as one XLA
+program instead of a per-frame Python loop.
+
+Returns (f0, periodicity) per frame, mirroring the (f0, confidence)
+contract of the CREPE extractor so the two are interchangeable in the
+preprocessing pipeline.
+"""
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .stft import frame_signal
+
+
+def _difference_function(frames: jnp.ndarray, tau_max: int) -> jnp.ndarray:
+    """YIN eq. (6) difference function d(tau) for ``(..., F, W)`` frames,
+    computed via FFT autocorrelation (O(W log W) per frame)."""
+    w = frames.shape[-1]
+    n = 1
+    while n < 2 * w:
+        n *= 2
+    spec = jnp.fft.rfft(frames, n=n, axis=-1)
+    acf = jnp.fft.irfft(spec * jnp.conj(spec), n=n, axis=-1)[..., :tau_max]
+
+    # cumulative energy terms: sum_{j=0}^{W-1-tau} x_j^2 and x_{j+tau}^2
+    sq = jnp.square(frames)
+    csum = jnp.cumsum(sq, axis=-1)
+    total = csum[..., -1:]
+    tau = jnp.arange(tau_max)
+    # energy of x[0 : W - tau]
+    e_head = jnp.take(csum, w - 1 - tau, axis=-1)
+    # energy of x[tau : W]
+    e_tail = total - jnp.where(tau > 0, jnp.take(csum, tau - 1, axis=-1), 0.0)
+    return e_head + e_tail - 2.0 * acf
+
+
+def _cmndf(d: jnp.ndarray) -> jnp.ndarray:
+    """Cumulative mean-normalized difference (YIN eq. 8); d'(0) = 1."""
+    tau = jnp.arange(1, d.shape[-1])
+    running = jnp.cumsum(d[..., 1:], axis=-1)
+    normed = d[..., 1:] * tau / jnp.maximum(running, 1e-12)
+    return jnp.concatenate([jnp.ones_like(d[..., :1]), normed], axis=-1)
+
+
+def yin_f0(
+    audio: jnp.ndarray,
+    sample_rate: float = 16000.0,
+    frame_length: int = 1024,
+    hop_length: int = 128,
+    fmin: float = 50.0,
+    fmax: float = 2000.0,
+    threshold: float = 0.1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """YIN pitch track of ``(..., T)`` audio.
+
+    Frames are centered (reflect padding), giving 1 + T//hop frames —
+    the same frame grid as the CREPE extractor and loudness.
+
+    Returns:
+      f0: ``(..., n_frames)`` Hz estimate (best candidate even when
+        unvoiced — consumers gate on periodicity, as the reference's
+        confidence-threshold segment filter does).
+      periodicity: ``(..., n_frames)`` in [0, 1]; 1 - d'(tau*).
+    """
+    pad = [(0, 0)] * (audio.ndim - 1) + [(frame_length // 2, frame_length // 2)]
+    padded = jnp.pad(audio, pad, mode="reflect")
+    frames = frame_signal(padded, frame_length, hop_length)  # (..., F, W)
+
+    tau_min = max(int(sample_rate / fmax), 1)
+    tau_max = min(int(sample_rate / fmin) + 1, frame_length - 1)
+
+    d = _difference_function(frames, tau_max + 1)
+    cm = _cmndf(d)  # (..., F, tau_max+1)
+
+    lags = jnp.arange(tau_max + 1)
+    in_range = (lags >= tau_min) & (lags <= tau_max)
+    masked = jnp.where(in_range, cm, jnp.inf)
+
+    # absolute-threshold rule: the first tau that is below threshold AND a
+    # local trough (i.e. we descend to the bottom of the first qualifying
+    # dip rather than stopping at the threshold crossing); fall back to
+    # the global minimum when nothing dips below threshold.
+    next_cm = jnp.concatenate(
+        [masked[..., 1:], jnp.full_like(masked[..., :1], jnp.inf)], axis=-1
+    )
+    is_trough = masked <= next_cm
+    below = (masked < threshold) & is_trough
+    any_below = jnp.any(below, axis=-1)
+    first_below = jnp.argmax(below, axis=-1)
+    global_min = jnp.argmin(masked, axis=-1)
+    tau_star = jnp.where(any_below, first_below, global_min)
+
+    # parabolic interpolation around tau_star for sub-sample precision
+    tm1 = jnp.clip(tau_star - 1, 0, tau_max)
+    tp1 = jnp.clip(tau_star + 1, 0, tau_max)
+    y0 = jnp.take_along_axis(cm, tm1[..., None], axis=-1)[..., 0]
+    y1 = jnp.take_along_axis(cm, tau_star[..., None], axis=-1)[..., 0]
+    y2 = jnp.take_along_axis(cm, tp1[..., None], axis=-1)[..., 0]
+    denom = y0 - 2.0 * y1 + y2
+    delta = jnp.where(
+        jnp.abs(denom) > 1e-12, 0.5 * (y0 - y2) / jnp.where(denom == 0, 1.0, denom), 0.0
+    )
+    delta = jnp.clip(delta, -0.5, 0.5)
+    tau_refined = tau_star.astype(jnp.float32) + delta
+    tau_refined = jnp.clip(tau_refined, tau_min, tau_max)
+
+    f0 = sample_rate / tau_refined
+    periodicity = jnp.clip(1.0 - y1, 0.0, 1.0)
+    return f0, periodicity

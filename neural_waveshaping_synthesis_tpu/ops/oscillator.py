@@ -1,0 +1,90 @@
+"""Harmonic oscillator bank.
+
+TPU-first equivalent of the reference's ``HarmonicOscillator``
+(reference ``models/modules/generators.py:38-66``): the only sequential
+dependency is the phase integral, expressed as a cumulative sum that
+XLA lowers to a log-depth parallel scan; the harmonic expansion is a
+broadcasted outer product over the lane axis.
+
+Layout: ``f0`` is ``(B, T)`` audio-rate Hz; the bank output is
+channels-last ``(B, T, H)`` so the harmonic axis (101 -> padded 128)
+rides the TPU vector lanes and feeds straight into the 101->64 mixer
+matmul on the MXU.
+"""
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+TAU = 2.0 * math.pi
+
+
+def phase_accumulate(f0: jnp.ndarray, sample_rate: float) -> jnp.ndarray:
+    """Integrated phase in radians: tau * cumsum(f0) / sr along time (axis -1).
+
+    Matches the reference phase recursion (generators.py:59) including its
+    quirk that the first sample already advances by f0[0]/sr.
+    """
+    return TAU * jnp.cumsum(f0, axis=-1) / sample_rate
+
+
+def harmonic_oscillator_bank(
+    f0: jnp.ndarray,
+    n_harmonics: int,
+    sample_rate: float,
+    key: Optional[jax.Array] = None,
+    phase_offset: Optional[jnp.ndarray] = None,
+    initial_phase: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Antialiased sinusoidal harmonic bank.
+
+    Args:
+      f0: ``(B, T)`` fundamental in Hz at audio rate.
+      n_harmonics: number of harmonics H (harmonic k has frequency k*f0).
+      sample_rate: audio sample rate.
+      key: PRNG key for per-harmonic random phase offsets in [-pi, pi),
+        drawn fresh per call — the reference draws them per forward
+        (generators.py:54-56, shared across the batch). Ignored if
+        ``phase_offset`` is given.
+      phase_offset: explicit ``(H,)`` or ``(B, H)`` phase offsets
+        (deterministic tests / streaming continuity).
+      initial_phase: ``(B,)`` carried phase accumulator for streaming;
+        added to the integrated phase.
+
+    Returns:
+      ``(B, T, H)`` bank of sinusoids, harmonics above Nyquist zeroed.
+    """
+    phase = phase_accumulate(f0, sample_rate)  # (B, T)
+    if initial_phase is not None:
+        phase = phase + initial_phase[:, None]
+
+    k = jnp.arange(1, n_harmonics + 1, dtype=f0.dtype)  # (H,)
+    if phase_offset is None:
+        if key is None:
+            phase_offset = jnp.zeros((n_harmonics,), dtype=f0.dtype)
+        else:
+            phase_offset = (
+                jax.random.uniform(key, (n_harmonics,), dtype=f0.dtype) * TAU
+                - math.pi
+            )
+    if phase_offset.ndim == 1:
+        phase_offset = phase_offset[None, None, :]  # (1, 1, H)
+    else:
+        phase_offset = phase_offset[:, None, :]  # (B, 1, H)
+
+    harmonic_phase = phase[..., None] * k + phase_offset  # (B, T, H)
+    antialias = (f0[..., None] * k) < (sample_rate / 2.0)
+    return jnp.sin(harmonic_phase) * antialias.astype(f0.dtype)
+
+
+def final_phase(
+    f0: jnp.ndarray, sample_rate: float, initial_phase: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """Phase accumulator value after the last sample — the carry for
+    streaming synthesis (wrapped to [0, tau) to keep precision over
+    long streams)."""
+    total = TAU * jnp.sum(f0, axis=-1) / sample_rate
+    if initial_phase is not None:
+        total = total + initial_phase
+    return jnp.mod(total, TAU)

@@ -1,0 +1,173 @@
+"""Unit tests for oscillator, FIR, upsampling, loudness, MFCC, resample, YIN."""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from neural_waveshaping_synthesis_tpu.ops import (
+    harmonic_oscillator_bank,
+    phase_accumulate,
+    linear_upsample,
+    windowed_fir_from_magnitude,
+    fft_convolve_circular,
+    fir_noise_filter,
+    extract_perceptual_loudness,
+    amplitude_to_db,
+    mfcc,
+    resample_kaiser,
+    yin_f0,
+)
+from neural_waveshaping_synthesis_tpu.ops.oscillator import final_phase
+from neural_waveshaping_synthesis_tpu.ops.windows import hann_window
+
+
+def test_linear_upsample_matches_torch(rng):
+    x = rng.standard_normal((2, 50, 3)).astype(np.float32)
+    ours = np.asarray(linear_upsample(jnp.asarray(x), 50 * 128))
+    # torch F.upsample(mode="linear") default align_corners=False
+    ref = F.interpolate(
+        torch.tensor(x).permute(0, 2, 1), 50 * 128, mode="linear"
+    ).permute(0, 2, 1).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_oscillator_pure_tone():
+    sr = 16000
+    f0 = jnp.full((1, sr), 440.0)
+    bank = harmonic_oscillator_bank(f0, 4, sr, phase_offset=jnp.zeros(4))
+    assert bank.shape == (1, sr, 4)
+    # harmonic 1 should be sin(tau*440*(n+1)/sr) -- cumsum includes sample 0
+    n = np.arange(sr) + 1
+    expected = np.sin(2 * np.pi * 440.0 * n / sr)
+    np.testing.assert_allclose(np.asarray(bank[0, :, 0]), expected, atol=1e-3)
+
+
+def test_oscillator_antialias_mask():
+    sr = 16000
+    f0 = jnp.full((1, 100), 3000.0)
+    bank = harmonic_oscillator_bank(f0, 5, sr, phase_offset=jnp.zeros(5))
+    # harmonics 3,4,5 are >= 8000 Hz -> zeroed
+    assert np.abs(np.asarray(bank[0, :, 2:])).max() == 0.0
+    assert np.abs(np.asarray(bank[0, :, 0])).max() > 0.5
+
+
+def test_final_phase_streaming_continuity():
+    sr = 16000
+    f0 = jnp.full((1, 256), 440.0)
+    full = harmonic_oscillator_bank(
+        jnp.concatenate([f0, f0], -1), 3, sr, phase_offset=jnp.zeros(3)
+    )
+    first = harmonic_oscillator_bank(f0, 3, sr, phase_offset=jnp.zeros(3))
+    carry = final_phase(f0, sr)
+    second = harmonic_oscillator_bank(
+        f0, 3, sr, phase_offset=jnp.zeros(3), initial_phase=carry
+    )
+    np.testing.assert_allclose(np.asarray(full[:, :256]), np.asarray(first), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(full[:, 256:]), np.asarray(second), atol=1e-3)
+
+
+def test_windowed_fir_matches_torch(rng):
+    """irfft -> roll -> hann -> rfft chain parity (generators.py:21-28)."""
+    h_re = rng.standard_normal((2, 10, 129)).astype(np.float32)
+    ours = np.asarray(windowed_fir_from_magnitude(jnp.asarray(h_re)))
+
+    t = torch.tensor(h_re)
+    h = torch.fft.irfft(torch.complex(t, torch.zeros_like(t)))
+    h = h.roll(128, -1) * torch.hann_window(256, periodic=True)
+    ref = torch.fft.rfft(h).numpy()
+    np.testing.assert_allclose(ours.real, ref.real, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(ours.imag, ref.imag, rtol=1e-3, atol=1e-4)
+
+
+def test_fir_noise_filter_matches_torch_pipeline(rng):
+    """End-to-end noise branch vs a stock-torch reimplementation with
+    the same injected noise."""
+    b, frames, bins, hop = 2, 20, 129, 128
+    n_fft = 256
+    h_re = (rng.standard_normal((b, frames, bins)) * 0.1).astype(np.float32)
+    noise = rng.random(hop * frames - 1).astype(np.float32)
+
+    ours = np.asarray(
+        fir_noise_filter(jnp.asarray(h_re), hop, key=None, noise=jnp.asarray(noise))
+    )
+
+    t = torch.tensor(h_re).transpose(1, 2)  # (B, bins, frames) like reference layout
+    h = torch.fft.irfft(torch.complex(t, torch.zeros_like(t)).transpose(1, 2))
+    h = h.roll(n_fft // 2, -1) * torch.hann_window(n_fft, periodic=True)
+    H = torch.fft.rfft(h)  # (B, frames, bins)
+    X = torch.stft(torch.tensor(noise), n_fft, hop, return_complex=True)  # (bins, F)
+    Y = X.unsqueeze(0) * H.transpose(1, 2)
+    y = torch.istft(Y, n_fft, hop, center=False)
+    ref = y[:, : frames * hop].numpy()
+
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_fft_convolve_circular_wraps(rng):
+    x = rng.standard_normal((1, 64)).astype(np.float32)
+    ir = np.zeros(64, dtype=np.float32)
+    ir[10] = 1.0
+    y = np.asarray(fft_convolve_circular(jnp.asarray(x), jnp.asarray(ir)))
+    expected = np.roll(x, 10, axis=-1)  # circular shift by 10
+    np.testing.assert_allclose(y, expected, atol=1e-4)
+
+
+def test_loudness_range_and_shape(rng):
+    audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    loud = np.asarray(extract_perceptual_loudness(jnp.asarray(audio)))
+    assert loud.shape == (1 + 16000 // 128,)
+    assert loud.min() >= 0.0 and loud.max() <= 1.0 + 1e-6
+
+
+def test_amplitude_to_db_matches_librosa_formula(rng):
+    mag = np.abs(rng.standard_normal((5, 10)).astype(np.float32)) + 1e-3
+    db = np.asarray(amplitude_to_db(jnp.asarray(mag)))
+    ref = 20 * np.log10(np.maximum(mag, 1e-5)) - 20 * np.log10(mag.max())
+    ref = np.maximum(ref, ref.max() - 80.0)
+    np.testing.assert_allclose(db, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_mfcc_shape(rng):
+    audio = rng.standard_normal(16000).astype(np.float32)
+    coeffs = np.asarray(mfcc(jnp.asarray(audio)))
+    assert coeffs.shape == (16, 1 + 16000 // 128)
+    assert np.isfinite(coeffs).all()
+
+
+def test_resample_preserves_tone():
+    sr_in, sr_out = 48000, 16000
+    t = np.arange(sr_in) / sr_in
+    x = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+    y = np.asarray(resample_kaiser(jnp.asarray(x), sr_in, sr_out))
+    assert y.shape == (16000,)
+    t_out = np.arange(16000) / sr_out
+    expected = np.sin(2 * np.pi * 440.0 * t_out)
+    # ignore filter edge transients
+    np.testing.assert_allclose(y[500:-500], expected[500:-500], atol=5e-3)
+
+
+def test_resample_irrational_pair():
+    y = np.asarray(resample_kaiser(jnp.zeros(44100), 44100, 16000))
+    assert y.shape == (16000,)
+
+
+def test_yin_tracks_sine():
+    sr = 16000
+    t = np.arange(4 * sr) / sr
+    x = np.sin(2 * np.pi * 330.0 * t).astype(np.float32)
+    f0, conf = yin_f0(jnp.asarray(x), sr)
+    f0, conf = np.asarray(f0), np.asarray(conf)
+    assert f0.shape == (1 + 4 * sr // 128,)
+    mid = slice(10, -10)
+    assert np.abs(np.median(f0[mid]) - 330.0) < 3.0
+    assert conf[mid].mean() > 0.9
+
+
+def test_yin_low_periodicity_on_noise(rng):
+    x = rng.standard_normal(16000).astype(np.float32)
+    _, conf = yin_f0(jnp.asarray(x), 16000)
+    assert np.asarray(conf).mean() < 0.7
