@@ -1,0 +1,282 @@
+"""Core learned modules as pure init/apply pairs over parameter pytrees.
+
+Capability-parity targets (reference file:line):
+  * FiLM                   — models/modules/dynamic.py:6-8
+  * TimeDistributedMLP     — models/modules/dynamic.py:20-40 (1x1 Conv1d
+    stacks == per-timestep dense layers; per-timestep LayerNorm; LeakyReLU)
+  * TrainableNonlinearity  — models/modules/shaping.py:15-37 (64 independent
+    scalar waveshapers as grouped 1x1 convs == per-channel tiny MLPs)
+  * ControlModule          — models/neural_waveshaping.py:18-26 (GRU + 1x1 proj)
+
+TPU-first design decisions:
+  * channels-last (B, T, C): C=128 rides the 128-lane axis; the dense
+    layers are (B*T, C) x (C, C') matmuls that tile the MXU perfectly.
+  * grouped 1x1 convs become broadcast/einsum ops over a (C, W_in, W_out)
+    weight tensor — elementwise VPU work, no im2col, no groups machinery.
+  * the GRU is a `lax.scan` over the cheap 125 Hz control rate with the
+    three gate matmuls fused into one (B, in)x(in, 3H) MXU op per step,
+    torch gate order (r, z, n) preserved for checkpoint parity.
+  * initializers reproduce torch defaults (uniform(+-1/sqrt(fan_in)) for
+    conv/linear/GRU) so from-scratch training matches the reference recipe.
+"""
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import minigin as gin
+
+Params = Dict
+
+
+# ---------------------------------------------------------------------------
+# initializers (torch-default parity)
+# ---------------------------------------------------------------------------
+def _uniform(key, shape, bound):
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+def dense_init(key, in_size: int, out_size: int) -> Params:
+    """torch nn.Conv1d(k=1)/nn.Linear default init: kaiming-uniform(a=sqrt(5))
+    == uniform(+-1/sqrt(fan_in)) for both weight and bias."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / jnp.sqrt(in_size)
+    return {
+        "w": _uniform(kw, (in_size, out_size), bound),
+        "b": _uniform(kb, (out_size,), bound),
+    }
+
+
+def dense_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """(..., in) -> (..., out); the MXU workhorse."""
+    return jnp.dot(x, p["w"], preferred_element_type=jnp.float32) + p["b"]
+
+
+# ---------------------------------------------------------------------------
+# FiLM
+# ---------------------------------------------------------------------------
+def film(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
+    """Feature-wise linear modulation: gamma * x + beta."""
+    return gamma * x + beta
+
+
+# ---------------------------------------------------------------------------
+# LayerNorm over the channel axis (torch nn.LayerNorm(C) parity)
+# ---------------------------------------------------------------------------
+def layer_norm_init(size: int) -> Params:
+    return {"scale": jnp.ones((size,)), "bias": jnp.zeros((size,))}
+
+
+def layer_norm_apply(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    normed = (x - mean) * jax.lax.rsqrt(var + eps)
+    return normed * p["scale"] + p["bias"]
+
+
+# ---------------------------------------------------------------------------
+# TimeDistributedMLP
+# ---------------------------------------------------------------------------
+@gin.configurable
+@dataclass(frozen=True)
+class TimeDistributedMLP:
+    """Per-timestep MLP: depth dense layers, LayerNorm + LeakyReLU between.
+
+    depth >= 3 asserted as in the reference (dynamic.py:24).
+    """
+
+    in_size: int
+    hidden_size: int
+    out_size: int
+    depth: int = 3
+
+    def __post_init__(self):
+        assert self.depth >= 3, "Depth must be at least 3"
+
+    def init(self, key) -> Params:
+        keys = jax.random.split(key, self.depth)
+        layers = []
+        for i in range(self.depth):
+            ins = self.in_size if i == 0 else self.hidden_size
+            outs = self.hidden_size if i < self.depth - 1 else self.out_size
+            layer = {"dense": dense_init(keys[i], ins, outs)}
+            if i < self.depth - 1:
+                layer["norm"] = layer_norm_init(outs)
+            layers.append(layer)
+        return {"layers": layers}
+
+    def apply(self, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+        """(B, T, in) -> (B, T, out)."""
+        for i, layer in enumerate(p["layers"]):
+            x = dense_apply(layer["dense"], x)
+            if i < self.depth - 1:
+                x = layer_norm_apply(layer["norm"], x)
+                x = jax.nn.leaky_relu(x, negative_slope=0.01)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# TrainableNonlinearity — the bank of learned scalar waveshapers
+# ---------------------------------------------------------------------------
+def sine(x):
+    return jnp.sin(x)
+
+
+@gin.configurable
+@dataclass(frozen=True)
+class TrainableNonlinearity:
+    """C independent scalar shaping functions, each a width-W MLP 1->W->..->1.
+
+    Parameter layout (vs the reference's grouped Conv1d weights of shape
+    (C*W, W, 1)): per-layer tensors of shape (C, W_in, W_out) so that
+    apply() is a chain of broadcasted multiply-accumulates over the
+    (B, T, C, W) activation — pure VPU work, fully vectorized over the
+    lane (C) and sublane (T) axes. `input_scale` init randn*10 matches
+    shaping.py:21.
+    """
+
+    channels: int
+    width: int
+    depth: int = 3
+    nonlinearity: str = "sine"
+    final_nonlinearity: str = "sine"
+
+    def _act(self, name):
+        return {"sine": sine, "relu": jax.nn.relu}[name]
+
+    def init(self, key) -> Params:
+        keys = jax.random.split(key, self.depth + 1)
+        params = {"input_scale": jax.random.normal(keys[0], (self.channels,)) * 10.0}
+        layers = []
+        for i in range(self.depth):
+            w_in = 1 if i == 0 else self.width
+            w_out = self.width if i < self.depth - 1 else 1
+            kw, kb = jax.random.split(keys[i + 1])
+            bound = 1.0 / jnp.sqrt(w_in)
+            layers.append(
+                {
+                    "w": _uniform(kw, (self.channels, w_in, w_out), bound),
+                    "b": _uniform(kb, (self.channels, w_out), bound),
+                }
+            )
+        params["layers"] = layers
+        return params
+
+    def apply(self, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+        """(B, T, C) -> (B, T, C), each channel through its own scalar MLP."""
+        act = self._act(self.nonlinearity)
+        final_act = self._act(self.final_nonlinearity)
+
+        h = (x * p["input_scale"])[..., None]  # (B, T, C, 1)
+        for i, layer in enumerate(p["layers"]):
+            # (B,T,C,Win) x (C,Win,Wout) -> (B,T,C,Wout): contraction over
+            # the tiny W axis; XLA vectorizes it over lanes, no MXU needed.
+            h = jnp.einsum("btcw,cwv->btcv", h, layer["w"]) + layer["b"]
+            h = act(h) if i < self.depth - 1 else final_act(h)
+        return h[..., 0]
+
+    def bake_table(
+        self, p: Params, table_size: int, table_min: float, table_max: float
+    ) -> jnp.ndarray:
+        """Sample each channel's shaper on a uniform grid -> (table_size, C).
+
+        The FastNEWT lookup table (shaping.py:107-119), baked with the
+        input_scale included (the reference feeds raw grid values into
+        shaping_fn, which applies input_scale internally — so do we)."""
+        grid = jnp.linspace(table_min, table_max, table_size)  # (S,)
+        x = jnp.broadcast_to(grid[None, :, None], (1, table_size, self.channels))
+        return self.apply(p, x)[0]  # (S, C)
+
+
+# ---------------------------------------------------------------------------
+# GRU (torch parity) + ControlModule
+# ---------------------------------------------------------------------------
+def gru_init(key, input_size: int, hidden_size: int) -> Params:
+    """torch nn.GRU init: all weights/biases uniform(+-1/sqrt(H)).
+
+    Stored pre-transposed for right-multiplication; gate order (r, z, n)
+    along the 3H axis matches torch's weight_ih_l0 row order, so the
+    checkpoint converter is a plain transpose."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    bound = 1.0 / jnp.sqrt(hidden_size)
+    return {
+        "w_ih": _uniform(k1, (input_size, 3 * hidden_size), bound),
+        "w_hh": _uniform(k2, (hidden_size, 3 * hidden_size), bound),
+        "b_ih": _uniform(k3, (3 * hidden_size,), bound),
+        "b_hh": _uniform(k4, (3 * hidden_size,), bound),
+    }
+
+
+def gru_step(
+    p: Params, h: jnp.ndarray, x: jnp.ndarray
+) -> jnp.ndarray:
+    """One torch-semantics GRU step. x (B, in), h (B, H) -> h' (B, H)."""
+    hidden = h.shape[-1]
+    gi = jnp.dot(x, p["w_ih"], preferred_element_type=jnp.float32) + p["b_ih"]
+    gh = jnp.dot(h, p["w_hh"], preferred_element_type=jnp.float32) + p["b_hh"]
+    i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    return (1.0 - z) * n + z * h
+
+
+def gru_apply(
+    p: Params, x: jnp.ndarray, h0: Optional[jnp.ndarray] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scan a GRU over (B, T, in) -> ((B, T, H), final h (B, H)).
+
+    lax.scan over the 125 Hz control axis — 500 steps of fused (B, in+H)
+    matmuls; the input-side projection for ALL timesteps is hoisted out
+    of the scan into one big MXU matmul.
+    """
+    hidden = p["w_hh"].shape[0]
+    b = x.shape[0]
+    if h0 is None:
+        h0 = jnp.zeros((b, hidden), dtype=x.dtype)
+
+    # Hoist the input projection: (B, T, in) x (in, 3H) once on the MXU.
+    gi_all = jnp.dot(x, p["w_ih"], preferred_element_type=jnp.float32) + p["b_ih"]
+
+    def step(h, gi):
+        gh = jnp.dot(h, p["w_hh"], preferred_element_type=jnp.float32) + p["b_hh"]
+        i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(i_r + h_r)
+        z = jax.nn.sigmoid(i_z + h_z)
+        n = jnp.tanh(i_n + r * h_n)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    h_final, ys = jax.lax.scan(step, h0, jnp.swapaxes(gi_all, 0, 1))
+    return jnp.swapaxes(ys, 0, 1), h_final
+
+
+@gin.configurable
+@dataclass(frozen=True)
+class ControlModule:
+    """GRU(control_size -> hidden) + dense projection to the embedding.
+
+    The reference discards GRU state every call (neural_waveshaping.py:25);
+    apply() exposes the carry so streaming synthesis can thread it.
+    """
+
+    control_size: int = 2
+    hidden_size: int = 128
+    embedding_size: int = 128
+
+    def init(self, key) -> Params:
+        kg, kp = jax.random.split(key)
+        return {
+            "gru": gru_init(kg, self.control_size, self.hidden_size),
+            "proj": dense_init(kp, self.hidden_size, self.embedding_size),
+        }
+
+    def apply(
+        self, p: Params, control: jnp.ndarray, h0: Optional[jnp.ndarray] = None
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(B, T, control_size) -> ((B, T, E), final GRU state (B, H))."""
+        hs, h_final = gru_apply(p["gru"], control, h0)
+        return dense_apply(p["proj"], hs), h_final

@@ -1,0 +1,141 @@
+"""NEWT waveshaper core and its FastNEWT inference optimization.
+
+Reference: ``models/modules/shaping.py:40-151``. The NEWT block predicts
+4*C FiLM parameters per control frame from the control embedding,
+upsamples them to audio rate, modulates the exciter, pushes it through
+the bank of learned scalar shapers, re-normalizes with a second FiLM,
+and mixes the C shaper outputs down to one channel.
+
+FastNEWT (shaping.py:82-151) bakes the shaper bank into a lookup table.
+The reference's lookup is a nested Python loop over batch x shaper
+(shaping.py:121-134); here it is a single vectorized gather with linear
+interpolation — and on TPU we keep the table channels-last (S, C) so
+the gather indexes the sublane axis while channels ride the lanes.
+"""
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+from .. import minigin as gin
+import jax
+import jax.numpy as jnp
+
+from ..ops.upsample import linear_upsample
+from .modules import (
+    Params,
+    TimeDistributedMLP,
+    TrainableNonlinearity,
+    dense_apply,
+    dense_init,
+    film,
+)
+
+
+@gin.configurable
+@dataclass(frozen=True)
+class NEWT:
+    n_waveshapers: int = 64
+    control_embedding_size: int = 128
+    shaping_fn_size: int = 8
+    out_channels: int = 1
+    shaping_fn_depth: int = 4
+
+    @property
+    def mlp(self) -> TimeDistributedMLP:
+        return TimeDistributedMLP(
+            self.control_embedding_size,
+            self.control_embedding_size,
+            self.n_waveshapers * 4,
+            depth=4,
+        )
+
+    @property
+    def shaping_fn(self) -> TrainableNonlinearity:
+        return TrainableNonlinearity(
+            self.n_waveshapers,
+            self.shaping_fn_size,
+            depth=self.shaping_fn_depth,
+            nonlinearity="sine",
+            final_nonlinearity="sine",
+        )
+
+    def init(self, key) -> Params:
+        k_mlp, k_fn, k_mix = jax.random.split(key, 3)
+        return {
+            "mlp": self.mlp.init(k_mlp),
+            "shaping_fn": self.shaping_fn.init(k_fn),
+            "mixer": dense_init(k_mix, self.n_waveshapers, self.out_channels),
+        }
+
+    def film_params(self, p: Params, control_embedding: jnp.ndarray) -> jnp.ndarray:
+        """(B, Tc, E) -> (B, Tc, 4C) control-rate FiLM parameters."""
+        return self.mlp.apply(p["mlp"], control_embedding)
+
+    def apply(
+        self,
+        p: Params,
+        exciter: jnp.ndarray,
+        control_embedding: jnp.ndarray,
+        lookup_table: Optional[jnp.ndarray] = None,
+        table_min: float = -3.0,
+        table_max: float = 3.0,
+    ) -> jnp.ndarray:
+        """(B, Ta, C) exciter + (B, Tc, E) embedding -> (B, Ta, out_channels).
+
+        If ``lookup_table`` (S, C) is given, the shaper bank is replaced by
+        the FastNEWT interpolated table lookup.
+        """
+        fp = self.film_params(p, control_embedding)  # (B, Tc, 4C)
+        fp = linear_upsample(fp, exciter.shape[1])  # (B, Ta, 4C)
+        c = self.n_waveshapers
+        gamma_idx, beta_idx, gamma_norm, beta_norm = (
+            fp[..., :c],
+            fp[..., c : 2 * c],
+            fp[..., 2 * c : 3 * c],
+            fp[..., 3 * c :],
+        )
+
+        x = film(exciter, gamma_idx, beta_idx)
+        if lookup_table is None:
+            x = self.shaping_fn.apply(p["shaping_fn"], x)
+        else:
+            x = fast_newt_lookup(lookup_table, x, table_min, table_max)
+        x = film(x, gamma_norm, beta_norm)
+        return dense_apply(p["mixer"], x)
+
+    def bake_lookup_table(
+        self,
+        p: Params,
+        table_size: int = 4096,
+        table_min: float = -3.0,
+        table_max: float = 3.0,
+    ) -> jnp.ndarray:
+        """FastNEWT table bake -> (table_size, C)."""
+        return self.shaping_fn.bake_table(
+            p["shaping_fn"], table_size, table_min, table_max
+        )
+
+
+def fast_newt_lookup(
+    table: jnp.ndarray, x: jnp.ndarray, table_min: float = -3.0, table_max: float = 3.0
+) -> jnp.ndarray:
+    """Linear-interpolated per-channel table lookup.
+
+    Args:
+      table: (S, C) baked shaper values.
+      x: (B, T, C) inputs.
+
+    Index arithmetic matches shaping.py:136-151: idx = S*(x-min)/(max-min),
+    floor clamped to [0, S-1], upper = min(lower+1, S-1) — including the
+    reference's quirk of scaling by S rather than S-1 (a 1-bin stretch
+    baked into its published RTF/quality numbers).
+    """
+    s = table.shape[0]
+    idx = s * (x - table_min) / (table_max - table_min)
+    lower = jnp.clip(jnp.floor(idx).astype(jnp.int32), 0, s - 1)
+    upper = jnp.minimum(lower + 1, s - 1)
+    fract = idx - lower.astype(idx.dtype)
+    # Gather along the table axis per channel: take_along_axis over S with
+    # channel alignment — (B, T, C) indices into (S, C).
+    lower_v = jnp.take_along_axis(table[None, :, :], lower.reshape(x.shape[0], -1, x.shape[2]), axis=1).reshape(x.shape)
+    upper_v = jnp.take_along_axis(table[None, :, :], upper.reshape(x.shape[0], -1, x.shape[2]), axis=1).reshape(x.shape)
+    return (upper_v - lower_v) * fract + lower_v

@@ -78,6 +78,10 @@ def fir_noise_filter(
     h_z = windowed_fir_from_magnitude(h_re, window)  # (B, F, bins) complex
 
     if noise is None:
+        if key is None:
+            raise ValueError(
+                "fir_noise_filter needs a PRNG key or an explicit noise vector"
+            )
         # One noise vector shared across the batch, uniform in [0, 1) —
         # deliberately matching the reference's torch.rand excitation
         # (non-zero-mean, NOT gaussian; generators.py:30).

@@ -1,0 +1,275 @@
+"""Golden tests: converted reference checkpoint driven through our JAX
+graph must match an independent stock-torch oracle of the published
+architecture, module by module and end to end.
+
+The oracle below is built from torch primitives (nn.GRU, F.conv1d,
+F.layer_norm, torch.stft/istft, torch.fft) wired per the architecture
+spec in SURVEY.md §2a/§3.3 — it reconstructs reference behavior from
+the checkpoint tensors without importing reference code.
+"""
+import os
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from neural_waveshaping_synthesis_tpu.convert import (
+    load_lightning_checkpoint,
+    convert_state_dict,
+)
+from neural_waveshaping_synthesis_tpu.models import (
+    NeuralWaveshaping,
+    NEWT,
+    ControlModule,
+    TimeDistributedMLP,
+    TrainableNonlinearity,
+)
+
+CKPT = "/root/reference/checkpoints/nws/vn/last.ckpt"
+needs_ckpt = pytest.mark.skipif(
+    not os.path.exists(CKPT), reason="reference checkpoint not available"
+)
+
+
+@pytest.fixture(scope="module")
+def ckpt():
+    return load_lightning_checkpoint(CKPT)
+
+
+@pytest.fixture(scope="module")
+def params(ckpt):
+    return jax.tree_util.tree_map(jnp.asarray, convert_state_dict(ckpt["state_dict"]))
+
+
+def _t(sd, name):
+    return torch.tensor(sd[name])
+
+
+# ---------------------------------------------------------------------------
+# torch oracle pieces
+# ---------------------------------------------------------------------------
+def torch_control_module(sd, control_bt2):
+    """control (B, T, 2) -> embedding (B, T, 128) via stock torch GRU+conv."""
+    gru = torch.nn.GRU(2, 128, batch_first=True)
+    with torch.no_grad():
+        gru.weight_ih_l0.copy_(_t(sd, "embedding.gru.weight_ih_l0"))
+        gru.weight_hh_l0.copy_(_t(sd, "embedding.gru.weight_hh_l0"))
+        gru.bias_ih_l0.copy_(_t(sd, "embedding.gru.bias_ih_l0"))
+        gru.bias_hh_l0.copy_(_t(sd, "embedding.gru.bias_hh_l0"))
+        h, _ = gru(control_bt2)
+        out = F.conv1d(
+            h.transpose(1, 2),
+            _t(sd, "embedding.proj.weight"),
+            _t(sd, "embedding.proj.bias"),
+        )
+    return out.transpose(1, 2)
+
+
+def torch_td_mlp(sd, prefix, depth, x_btc):
+    """(B, T, C_in) -> (B, T, C_out) per-timestep MLP oracle."""
+    x = x_btc.transpose(1, 2)  # (B, C, T)
+    with torch.no_grad():
+        for i in range(depth):
+            ci = i * 3
+            x = F.conv1d(x, _t(sd, f"{prefix}.net.{ci}.weight"), _t(sd, f"{prefix}.net.{ci}.bias"))
+            if i < depth - 1:
+                x = F.layer_norm(
+                    x.transpose(1, 2),
+                    (x.shape[1],),
+                    _t(sd, f"{prefix}.net.{ci+1}.layer_norm.weight"),
+                    _t(sd, f"{prefix}.net.{ci+1}.layer_norm.bias"),
+                ).transpose(1, 2)
+                x = F.leaky_relu(x)
+    return x.transpose(1, 2)
+
+
+def torch_shaper(sd, x_btc, channels=64, depth=4):
+    """TrainableNonlinearity oracle: grouped 1x1 convs with sine acts."""
+    x = x_btc.transpose(1, 2)  # (B, C, T)
+    with torch.no_grad():
+        x = x * _t(sd, "newt.shaping_fn.input_scale")
+        for i in range(depth):
+            si = i * 2
+            x = F.conv1d(
+                x,
+                _t(sd, f"newt.shaping_fn.net.{si}.weight"),
+                _t(sd, f"newt.shaping_fn.net.{si}.bias"),
+                groups=channels,
+            )
+            x = torch.sin(x)
+    return x.transpose(1, 2)
+
+
+def torch_full_forward(sd, f0_bt, control_btc, phase_offset, noise, hop=128, sr=16000):
+    """End-to-end oracle of the synthesis graph (SURVEY.md §3.3) with
+    injected phase offsets and noise."""
+    with torch.no_grad():
+        b, tc = f0_bt.shape
+        ta = tc * hop
+        f0_up = F.interpolate(f0_bt.unsqueeze(1), ta, mode="linear").squeeze(1)
+
+        # oscillator
+        k = torch.arange(1, 102).view(1, 101, 1)
+        phase = 2 * np.pi * torch.cumsum(f0_up, -1) / sr
+        hp = k * phase.unsqueeze(1) + phase_offset.view(1, 101, 1)
+        mask = (f0_up.unsqueeze(1) * k) < (sr / 2)
+        bank = torch.sin(hp) * mask  # (B, 101, Ta)
+        exciter = F.conv1d(
+            bank.float(), _t(sd, "harmonic_mixer.weight"), _t(sd, "harmonic_mixer.bias")
+        )  # (B, 64, Ta)
+
+        emb = torch_control_module(sd, control_btc[..., :2])  # (B, Tc, 128)
+
+        film_p = torch_td_mlp(sd, "newt.mlp", 4, emb)  # (B, Tc, 256)
+        film_p = F.interpolate(film_p.transpose(1, 2), ta, mode="linear")  # (B,256,Ta)
+        gi, bi, gn, bn = torch.split(film_p, 64, dim=1)
+        x = gi * exciter + bi
+        x = torch_shaper(sd, x.transpose(1, 2)).transpose(1, 2)
+        x = gn * x + bn
+        x = F.conv1d(x, _t(sd, "newt.mixer.0.weight"), _t(sd, "newt.mixer.0.bias"))
+
+        # noise branch
+        h_re = torch_td_mlp(sd, "h_generator", 4, emb)  # (B, Tc, 129)
+        hz = torch.complex(h_re, torch.zeros_like(h_re))
+        h_ir = torch.fft.irfft(hz)  # (B, Tc, 256)
+        h_ir = h_ir.roll(128, -1) * torch.hann_window(256)
+        h_f = torch.fft.rfft(h_ir)  # (B, Tc, 129)
+        xn = torch.stft(noise, 256, hop, return_complex=True)  # (129, Tc)
+        yn = xn.unsqueeze(0) * h_f.transpose(1, 2)
+        noise_audio = torch.istft(yn, 256, hop, center=False)[:, :ta]
+
+        mixed = x.squeeze(1) + noise_audio
+
+        # reverb (circular conv, wrap quirk)
+        ir = torch.cat(
+            [torch.zeros(1), _t(sd, "reverb.ir")[0]]
+        )
+        n = max(ta, ir.shape[0])
+        x_pad = F.pad(mixed, (0, n - ta))
+        ir_pad = F.pad(ir, (0, n - ir.shape[0]))
+        wet = torch.fft.irfft(
+            torch.fft.rfft(x_pad) * torch.fft.rfft(ir_pad), n=n
+        )[:, :ta]
+        return mixed + wet
+
+
+# ---------------------------------------------------------------------------
+# module-level golden tests
+# ---------------------------------------------------------------------------
+@needs_ckpt
+def test_control_module_matches_torch(ckpt, params, rng):
+    sd = ckpt["state_dict"]
+    control = rng.standard_normal((2, 50, 2)).astype(np.float32)
+    ours, _ = ControlModule().apply(params["embedding"], jnp.asarray(control))
+    ref = torch_control_module(sd, torch.tensor(control)).numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-5)
+
+
+@needs_ckpt
+def test_newt_mlp_matches_torch(ckpt, params, rng):
+    sd = ckpt["state_dict"]
+    x = rng.standard_normal((2, 50, 128)).astype(np.float32)
+    mlp = TimeDistributedMLP(128, 128, 256, depth=4)
+    ours = mlp.apply(params["newt"]["mlp"], jnp.asarray(x))
+    ref = torch_td_mlp(sd, "newt.mlp", 4, torch.tensor(x)).numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-4)
+
+
+@needs_ckpt
+def test_shaper_matches_torch(ckpt, params, rng):
+    sd = ckpt["state_dict"]
+    x = (rng.standard_normal((2, 100, 64)) * 0.5).astype(np.float32)
+    shaper = TrainableNonlinearity(64, 8, depth=4)
+    ours = shaper.apply(params["newt"]["shaping_fn"], jnp.asarray(x))
+    ref = torch_shaper(sd, torch.tensor(x)).numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-4)
+
+
+@needs_ckpt
+def test_h_generator_matches_torch(ckpt, params, rng):
+    sd = ckpt["state_dict"]
+    x = rng.standard_normal((1, 50, 128)).astype(np.float32)
+    mlp = TimeDistributedMLP(128, 128, 129, depth=4)
+    ours = mlp.apply(params["h_generator"], jnp.asarray(x))
+    ref = torch_td_mlp(sd, "h_generator", 4, torch.tensor(x)).numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end golden test
+# ---------------------------------------------------------------------------
+@needs_ckpt
+def test_full_forward_matches_torch(ckpt, params, rng):
+    sd = ckpt["state_dict"]
+    b, tc, hop = 2, 50, 128
+    f0 = (200.0 + 200.0 * rng.random((b, tc))).astype(np.float32)
+    control = rng.standard_normal((b, tc, 2)).astype(np.float32)
+    phase_offset = (rng.random(101) * 2 * np.pi - np.pi).astype(np.float32)
+    noise = rng.random(hop * tc - 1).astype(np.float32)
+
+    model = NeuralWaveshaping()
+    ours = model.apply(
+        params,
+        jnp.asarray(f0),
+        jnp.asarray(control),
+        phase_offset=jnp.asarray(phase_offset),
+        noise=jnp.asarray(noise),
+    )
+    ref = torch_full_forward(
+        sd,
+        torch.tensor(f0),
+        torch.tensor(control),
+        torch.tensor(phase_offset),
+        torch.tensor(noise),
+    ).numpy()
+
+    ours = np.asarray(ours)
+    assert ours.shape == ref.shape == (b, tc * hop)
+    # audio-domain tolerance: normalized RMS error
+    err = np.sqrt(np.mean((ours - ref) ** 2)) / (np.sqrt(np.mean(ref**2)) + 1e-12)
+    assert err < 1e-3, f"normalized RMS error {err}"
+
+
+@needs_ckpt
+def test_fast_newt_table_matches_direct(ckpt, params, rng):
+    """FastNEWT: table lookup must approximate the direct shaper closely
+    inside the table range."""
+    newt = NEWT()
+    table = newt.bake_lookup_table(params["newt"])
+    assert table.shape == (4096, 64)
+    x = jnp.asarray((rng.random((1, 200, 64)) * 4.0 - 2.0).astype(np.float32))
+    direct = newt.shaping_fn.apply(params["newt"]["shaping_fn"], x)
+    fast = jax.jit(
+        lambda t, v: __import__(
+            "neural_waveshaping_synthesis_tpu.models.newt", fromlist=["fast_newt_lookup"]
+        ).fast_newt_lookup(t, v)
+    )(table, x)
+    err = np.abs(np.asarray(fast) - np.asarray(direct)).max()
+    assert err < 0.05, f"max table interp error {err}"
+
+
+@needs_ckpt
+def test_param_count_matches_reference(ckpt, params):
+    """Converted learnable parameters == reference state_dict minus the
+    4 non-learnable buffers (harmonic_axis 101, rand_phase 101,
+    window 256, initial_zero 1)."""
+    model = NeuralWaveshaping()
+    total = model.n_params(params)
+    ref_total = sum(int(np.prod(v.shape)) for v in ckpt["state_dict"].values())
+    assert total == ref_total - 101 - 101 - 256 - 1
+
+
+@needs_ckpt
+def test_init_shapes_match_converted(params):
+    """A fresh init produces the exact same pytree structure/shapes as the
+    converted checkpoint — the contract that keeps training and
+    conversion interchangeable."""
+    model = NeuralWaveshaping()
+    fresh = model.init(jax.random.PRNGKey(0))
+    fresh_shapes = jax.tree_util.tree_map(lambda x: x.shape, fresh)
+    conv_shapes = jax.tree_util.tree_map(lambda x: x.shape, params)
+    assert fresh_shapes == conv_shapes
