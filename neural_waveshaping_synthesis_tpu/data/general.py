@@ -1,0 +1,154 @@
+"""Dataset + DataModule over the reference's ``.npy`` shard layout.
+
+Directory format (identical to the reference, so datasets interchange —
+``data/general.py:9-57`` / ``data/utils/create_dataset.py:132-148``):
+
+    <root>/
+      data_mean.npy, data_std.npy          # (19, 1) control stats
+      {train,val,test}/
+        audio/audio_<name>.npy             # (T_audio,) float32, 4 s
+        control/control_<name>.npy         # (19, T_ctrl) z-scored
+
+Control channels: 0 = f0 (Hz), 1 = loudness, 2 = CREPE confidence,
+3-18 = MFCC. Items expose denormalized f0/amp like the reference.
+
+TPU-first loading: instead of torch DataLoader worker processes, the
+whole split is memory-mapped/stacked into contiguous numpy arrays once
+(a 4-s split is tiny — a few hundred MB at most) and batches are
+sliced views converted to device arrays. Batch shapes are STATIC
+(drop-remainder) so every training step reuses one compiled program.
+"""
+import os
+from typing import Dict, Iterator, List, Optional
+
+import jax
+import numpy as np
+
+from .. import minigin as gin
+
+
+class GeneralDataset:
+    """Eagerly-stacked split of (audio, control) pairs.
+
+    Unlike the reference's per-item ``__getitem__``, data lives in two
+    dense arrays; item access and batch slicing are O(1) views.
+    """
+
+    def __init__(self, path: str, split: str = "train", load_to_memory: bool = True):
+        self.path = path
+        self.split = split
+        split_path = os.path.join(path, split)
+        audio_dir = os.path.join(split_path, "audio")
+        self.names = sorted(
+            f[len("audio_") : -len(".npy")]
+            for f in os.listdir(audio_dir)
+            if f.endswith(".npy") and f.startswith("audio_")
+        )
+        self.data_mean = np.load(os.path.join(path, "data_mean.npy")).astype(
+            np.float32
+        )  # (C, 1)
+        self.data_std = np.load(os.path.join(path, "data_std.npy")).astype(np.float32)
+
+        audio_list, control_list = [], []
+        for name in self.names:
+            audio_list.append(
+                np.load(os.path.join(split_path, "audio", f"audio_{name}.npy"))
+            )
+            control_list.append(
+                np.load(os.path.join(split_path, "control", f"control_{name}.npy"))
+            )
+        if audio_list:
+            self.audio = np.stack(audio_list).astype(np.float32)  # (N, Ta)
+            # stored channel-first (C, Tc) -> channels-last (N, Tc, C)
+            self.control = np.stack(control_list).astype(np.float32).transpose(
+                0, 2, 1
+            )
+        else:
+            self.audio = np.zeros((0, 0), np.float32)
+            self.control = np.zeros((0, 0, 0), np.float32)
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+    def denormalize(self, control_tc: np.ndarray) -> np.ndarray:
+        """(…, Tc, C) z-scored -> physical units."""
+        return control_tc * self.data_std.T + self.data_mean.T
+
+    def __getitem__(self, idx: int) -> Dict:
+        control = self.control[idx]  # (Tc, C)
+        denorm = self.denormalize(control)
+        return {
+            "audio": self.audio[idx],
+            "f0": denorm[:, 0],
+            "amp": denorm[:, 1],
+            "control": control,
+            "name": self.names[idx],
+        }
+
+    def batch(self, indices: np.ndarray) -> Dict:
+        control = self.control[indices]  # (B, Tc, C)
+        denorm = self.denormalize(control)
+        return {
+            "audio": self.audio[indices],
+            "f0": denorm[:, :, 0],
+            "control": control,
+        }
+
+
+@gin.configurable
+class GeneralDataModule:
+    """Batch streams for train/val/test (reference data/general.py:60-97).
+
+    Train batches are shuffled per pass with a JAX PRNG key and sized
+    statically (remainder dropped — jit wants one shape). Val/test
+    iterate deterministically; a short final batch is dropped the same
+    way (documented deviation: PL pads nothing either, but allows
+    ragged final batches — ragged shapes would force recompiles here).
+    """
+
+    def __init__(
+        self,
+        data_root: str,
+        batch_size: int = 16,
+        load_to_memory: bool = True,
+    ):
+        self.data_root = data_root
+        self.batch_size = batch_size
+        self.load_to_memory = load_to_memory
+        self._splits: Dict[str, GeneralDataset] = {}
+
+    def dataset(self, split: str) -> GeneralDataset:
+        if split not in self._splits:
+            self._splits[split] = GeneralDataset(
+                self.data_root, split, self.load_to_memory
+            )
+        return self._splits[split]
+
+    def _effective_batch(self, n: int) -> int:
+        return min(self.batch_size, n) if n else 0
+
+    def train_batches(self, key) -> Iterator[Dict]:
+        ds = self.dataset("train")
+        n = len(ds)
+        bs = self._effective_batch(n)
+        if not bs:
+            return
+        perm = np.asarray(jax.random.permutation(key, n))
+        for start in range(0, n - bs + 1, bs):
+            yield ds.batch(perm[start : start + bs])
+
+    def _eval_batches(self, split: str) -> Iterator[Dict]:
+        ds = self.dataset(split)
+        n = len(ds)
+        bs = self._effective_batch(n)
+        if not bs:
+            return
+        idx = np.arange(n)
+        for start in range(0, n - bs + 1, bs):
+            yield ds.batch(idx[start : start + bs])
+
+    def val_batches(self) -> Iterator[Dict]:
+        return self._eval_batches("val")
+
+    def test_batches(self) -> Iterator[Dict]:
+        return self._eval_batches("test")

@@ -338,12 +338,23 @@ def parse_config_file(path: str) -> None:
         parse_config(f.read(), base_dir=os.path.dirname(os.path.abspath(path)))
 
 
+def _render(value: Any) -> str:
+    if isinstance(value, _ConfigurableReference):
+        prefix = f"{value.scope}/" if value.scope else ""
+        return f"@{prefix}{value.name}" + ("()" if value.evaluate else "")
+    if isinstance(value, _Macro):
+        return f"%{value.name}"
+    if isinstance(value, _Expr):
+        return f"{_render(value.left)} {value.op} {_render(value.right)}"
+    return repr(value)
+
+
 def operative_config_str() -> str:
     """Human-readable dump of active bindings (for run logging)."""
     out = []
     for name, value in sorted(_MACROS.items()):
-        out.append(f"{name} = {value!r}")
+        out.append(f"{name} = {_render(value)}")
     for (scope, name, param), value in sorted(_BINDINGS.items()):
         prefix = f"{scope}/" if scope else ""
-        out.append(f"{prefix}{name}.{param} = {value!r}")
+        out.append(f"{prefix}{name}.{param} = {_render(value)}")
     return "\n".join(out)

@@ -1,0 +1,85 @@
+"""Metric/audio loggers (reference: PL self.log + wandb,
+models/neural_waveshaping.py:114-165, scripts/train.py:62-66).
+
+Three backends behind one duck-typed interface:
+  ConsoleLogger — stdout lines
+  CSVLogger     — append-only metrics.csv (host-side, cheap)
+  WandbLogger   — optional; gated import, same metric names as the
+                  reference (train/loss, val/loss, test/loss, audio/*)
+"""
+import csv
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class ConsoleLogger:
+    def log_metrics(self, metrics: Dict, step: int):
+        parts = " ".join(f"{k}={v:.6g}" for k, v in metrics.items())
+        print(f"[step {step}] {parts}", flush=True)
+
+    def log_audio(self, name: str, audio: np.ndarray, sample_rate: int, step: int):
+        pass
+
+
+class CSVLogger:
+    def __init__(self, directory: str):
+        os.makedirs(directory, exist_ok=True)
+        self.path = os.path.join(directory, "metrics.csv")
+        self._wrote_header = os.path.exists(self.path)
+
+    def log_metrics(self, metrics: Dict, step: int):
+        row = {"step": step, "time": time.time(), **metrics}
+        write_header = not self._wrote_header
+        with open(self.path, "a", newline="") as f:
+            writer = csv.DictWriter(
+                f, fieldnames=["step", "time", "train/loss", "train/lr",
+                               "train/steps_per_sec", "val/loss", "test/loss",
+                               "grad_norm"],
+                extrasaction="ignore",
+            )
+            if write_header:
+                writer.writeheader()
+                self._wrote_header = True
+            writer.writerow(row)
+
+    def log_audio(self, name: str, audio: np.ndarray, sample_rate: int, step: int):
+        """Write eval audio snapshots as wavs next to the metrics."""
+        from scipy.io import wavfile
+
+        audio_dir = os.path.join(os.path.dirname(self.path), "audio")
+        os.makedirs(audio_dir, exist_ok=True)
+        peak = np.abs(audio).max()
+        scaled = (audio / peak * 0.9 * 32767).astype(np.int16) if peak > 0 else (
+            np.zeros_like(audio, dtype=np.int16)
+        )
+        safe = name.replace("/", "_")
+        wavfile.write(
+            os.path.join(audio_dir, f"{safe}_step{step}.wav"), sample_rate, scaled
+        )
+
+
+class WandbLogger:
+    """Optional wandb backend; constructing it without wandb installed
+    raises ImportError (the CLI only builds it under --with-wandb)."""
+
+    def __init__(self, project: str = "neural-waveshaping-synthesis-tpu", **kwargs):
+        import wandb
+
+        self._wandb = wandb
+        self.run = wandb.init(project=project, **kwargs)
+
+    def log_metrics(self, metrics: Dict, step: int):
+        self._wandb.log(metrics, step=step)
+
+    def log_audio(self, name: str, audio: np.ndarray, sample_rate: int, step: int):
+        self._wandb.log(
+            {
+                f"audio/{name}": self._wandb.Audio(
+                    audio, sample_rate=sample_rate, caption=name
+                )
+            },
+            step=step,
+        )

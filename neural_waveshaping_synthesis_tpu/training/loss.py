@@ -1,0 +1,76 @@
+"""Multi-resolution STFT loss (auraloss 0.2.1 default parity).
+
+The reference constructs ``auraloss.freq.MultiResolutionSTFTLoss()``
+with library defaults inside ``configure_optimizers``
+(reference ``models/neural_waveshaping.py:93``; pinned auraloss==0.2.1,
+requirements.txt:1). Those defaults:
+
+  fft_sizes   = (1024, 2048, 512)
+  hop_sizes   = (120, 240, 50)
+  win_lengths = (600, 1200, 240)
+  window      = hann(win_length), centered STFT (torch.stft default)
+  per resolution: spectral convergence + log-magnitude L1, both weight 1
+  total = mean over resolutions
+
+Magnitudes are floored at sqrt(1e-8) exactly as auraloss clamps
+|X|^2 >= 1e-8 before the sqrt.
+
+TPU notes: all three resolutions are computed inside one jit; the
+framing gathers and rFFTs batch over (B*n_frames) and XLA fuses the
+magnitude/log elementwise chain. Loss reduction is a full-tensor
+frobenius norm / mean — under pjit data parallelism these reduce with
+``psum`` over the mesh automatically.
+"""
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.stft import spectrogram_magnitude
+from ..ops.windows import hann_window
+
+DEFAULT_FFT_SIZES = (1024, 2048, 512)
+DEFAULT_HOP_SIZES = (120, 240, 50)
+DEFAULT_WIN_LENGTHS = (600, 1200, 240)
+
+
+def stft_loss(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    fft_size: int,
+    hop_size: int,
+    win_length: int,
+    w_sc: float = 1.0,
+    w_log_mag: float = 1.0,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Single-resolution STFT loss between input ``x`` and target ``y``.
+
+    sc = ||Y - X||_F / ||Y||_F  (norms over the whole batched tensor)
+    log_mag = mean |log Y - log X|
+    """
+    window = hann_window(win_length, periodic=True)
+    x_mag = spectrogram_magnitude(
+        x, fft_size, hop_size, win_length=win_length, window=window, eps=eps
+    )
+    y_mag = spectrogram_magnitude(
+        y, fft_size, hop_size, win_length=win_length, window=window, eps=eps
+    )
+    sc = jnp.linalg.norm(y_mag - x_mag) / jnp.linalg.norm(y_mag)
+    log_mag = jnp.mean(jnp.abs(jnp.log(y_mag) - jnp.log(x_mag)))
+    return w_sc * sc + w_log_mag * log_mag
+
+
+def multi_resolution_stft_loss(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    fft_sizes: Sequence[int] = DEFAULT_FFT_SIZES,
+    hop_sizes: Sequence[int] = DEFAULT_HOP_SIZES,
+    win_lengths: Sequence[int] = DEFAULT_WIN_LENGTHS,
+) -> jnp.ndarray:
+    """Mean over resolutions of (spectral convergence + log-mag L1)."""
+    total = 0.0
+    for n_fft, hop, win in zip(fft_sizes, hop_sizes, win_lengths):
+        total = total + stft_loss(x, y, n_fft, hop, win)
+    return total / len(fft_sizes)

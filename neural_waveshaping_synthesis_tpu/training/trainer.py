@@ -1,0 +1,317 @@
+"""The training runtime — the layer the reference outsources to
+PyTorch Lightning (SURVEY.md §1 L4) rebuilt TPU-native.
+
+Responsibilities (reference features in parentheses):
+  * jitted data-parallel train/eval steps over a device mesh
+    (PL ``accelerator='dp'`` replicate/scatter/gather -> GSPMD psum)
+  * Adam + staircase step decay, applied per-step
+    (torch Adam + StepLR(10000, 0.9) with interval="step",
+    neural_waveshaping.py:92-102)
+  * global-norm gradient clipping at 2.0 (PL gradient_clip_val,
+    gin/train/train_newt.gin:12)
+  * best-on-val + last checkpointing with auto-resume (PL
+    ModelCheckpoint(monitor="val/loss", save_top_k=1, save_last),
+    scripts/train.py:58-60,74)
+  * metric logging: train/loss, val/loss, test/loss epoch aggregates
+    (sync_dist=True -> the psum'd loss is already globally reduced)
+
+Design: the step functions are pure (state, batch, key) -> (state,
+metrics), jit-compiled once with donated state; the Trainer object only
+orchestrates host-side concerns (data, checkpoints, logging).
+"""
+import dataclasses
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import minigin as gin
+from ..models.neural_waveshaping import NeuralWaveshaping
+from ..parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    replicated_sharding,
+    shard_batch,
+)
+from .loss import multi_resolution_stft_loss
+
+
+@gin.configurable
+@dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-3
+    lr_decay: float = 0.9
+    lr_decay_interval: int = 10000
+    max_steps: int = 120000
+    gradient_clip_val: float = 2.0
+    data_parallel: bool = True
+    val_every_n_steps: int = 1000
+    log_every_n_steps: int = 100
+    checkpoint_dir: str = "checkpoints_tpu"
+    keep_n_checkpoints: int = 2
+    seed: int = 0
+
+
+def make_lr_schedule(cfg: TrainConfig) -> optax.Schedule:
+    """StepLR parity: lr * decay^(step // interval), staircase."""
+    return optax.exponential_decay(
+        init_value=cfg.learning_rate,
+        transition_steps=cfg.lr_decay_interval,
+        decay_rate=cfg.lr_decay,
+        staircase=True,
+    )
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """clip-by-global-norm then Adam — PL clips before the optimizer
+    step, exactly this order."""
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.gradient_clip_val),
+        optax.adam(make_lr_schedule(cfg)),
+    )
+
+
+def init_train_state(
+    model: NeuralWaveshaping, cfg: TrainConfig, key: jax.Array
+) -> Dict:
+    params = model.init(key)
+    opt_state = make_optimizer(cfg).init(params)
+    return {"params": params, "opt_state": opt_state, "step": jnp.zeros((), jnp.int32)}
+
+
+def train_state_from_params(params: Dict, cfg: TrainConfig) -> Dict:
+    """Wrap converted reference weights (fine-tune / resume-from-torch)."""
+    return {
+        "params": params,
+        "opt_state": make_optimizer(cfg).init(params),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def compute_loss(
+    model: NeuralWaveshaping, params: Dict, batch: Dict, key: jax.Array
+) -> jnp.ndarray:
+    """One forward + multi-res STFT loss (reference _run_step :104-112)."""
+    recon = model.apply(params, batch["f0"], batch["control"], key=key)
+    return multi_resolution_stft_loss(recon, batch["audio"])
+
+
+def make_train_step(
+    model: NeuralWaveshaping, cfg: TrainConfig
+) -> Callable[[Dict, Dict, jax.Array], Tuple[Dict, Dict]]:
+    optimizer = make_optimizer(cfg)
+
+    def train_step(state: Dict, batch: Dict, key: jax.Array):
+        # Per-step randomness: fold the step count into the run key so
+        # every step draws fresh oscillator phases / noise (the reference
+        # draws fresh torch.rand per forward).
+        step_key = jax.random.fold_in(key, state["step"])
+        loss, grads = jax.value_and_grad(
+            lambda p: compute_loss(model, p, batch, step_key)
+        )(state["params"])
+        updates, opt_state = optimizer.update(
+            grads, state["opt_state"], state["params"]
+        )
+        params = optax.apply_updates(state["params"], updates)
+        new_state = {
+            "params": params,
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+        }
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: NeuralWaveshaping):
+    def eval_step(params: Dict, batch: Dict, key: jax.Array):
+        recon = model.apply(params, batch["f0"], batch["control"], key=key)
+        return multi_resolution_stft_loss(recon, batch["audio"]), recon
+
+    return eval_step
+
+
+class Trainer:
+    """Host-side orchestration: jit-compile the steps onto a mesh, stream
+    batches, checkpoint, log."""
+
+    def __init__(
+        self,
+        model: NeuralWaveshaping,
+        cfg: TrainConfig,
+        mesh=None,
+        loggers: Optional[list] = None,
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else create_mesh()
+        self.loggers = loggers or []
+
+        rep = replicated_sharding(self.mesh)
+        data = batch_sharding(self.mesh)
+        batch_shardings = {"audio": data, "f0": data, "control": data}
+
+        self._train_step = jax.jit(
+            make_train_step(model, cfg),
+            in_shardings=(rep, batch_shardings, rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+        self._eval_step = jax.jit(
+            make_eval_step(model),
+            in_shardings=(rep, batch_shardings, rep),
+            out_shardings=(rep, rep),
+        )
+
+    # -- checkpointing -------------------------------------------------------
+    def _ckpt_manager(self, directory: str):
+        import orbax.checkpoint as ocp
+
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=self.cfg.keep_n_checkpoints,
+            best_fn=lambda m: m["val_loss"],
+            best_mode="min",
+        )
+        return ocp.CheckpointManager(os.path.abspath(directory), options=options)
+
+    def save_checkpoint(self, manager, state: Dict, val_loss: float):
+        import orbax.checkpoint as ocp
+
+        step = int(state["step"])
+        manager.save(
+            step,
+            args=ocp.args.StandardSave(state),
+            metrics={"val_loss": float(val_loss)},
+        )
+
+    def restore_checkpoint(self, manager, state: Dict) -> Tuple[Dict, int]:
+        """Restore the latest checkpoint into the structure of ``state``."""
+        import orbax.checkpoint as ocp
+
+        latest = manager.latest_step()
+        if latest is None:
+            return state, 0
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(jnp.asarray(x).shape, jnp.asarray(x).dtype),
+            state,
+        )
+        restored = manager.restore(latest, args=ocp.args.StandardRestore(abstract))
+        return restored, latest
+
+    # -- logging -------------------------------------------------------------
+    def _log(self, metrics: Dict, step: int):
+        for logger in self.loggers:
+            logger.log_metrics(metrics, step)
+
+    def _log_audio(self, name: str, audio: np.ndarray, step: int):
+        for logger in self.loggers:
+            if hasattr(logger, "log_audio"):
+                logger.log_audio(name, audio, int(self.model.sample_rate), step)
+
+    # -- loops ---------------------------------------------------------------
+    def evaluate(
+        self,
+        params: Dict,
+        batches: Iterator[Dict],
+        key: jax.Array,
+        log_audio_step: Optional[int] = None,
+        prefix: str = "val",
+    ) -> float:
+        losses = []
+        for i, batch in enumerate(batches):
+            batch = shard_batch(batch, self.mesh)
+            loss, recon = self._eval_step(params, batch, jax.random.fold_in(key, i))
+            losses.append(float(loss))
+            if i == 0 and log_audio_step is not None:
+                self._log_audio(
+                    f"{prefix}/original", np.asarray(batch["audio"][0]), log_audio_step
+                )
+                self._log_audio(
+                    f"{prefix}/recon", np.asarray(recon[0]), log_audio_step
+                )
+        return float(np.mean(losses)) if losses else float("nan")
+
+    def fit(
+        self,
+        datamodule,
+        restore: bool = False,
+        initial_params: Optional[Dict] = None,
+    ) -> Dict:
+        cfg = self.cfg
+        key = jax.random.PRNGKey(cfg.seed)
+        init_key, data_key, train_key, eval_key = jax.random.split(key, 4)
+
+        if initial_params is not None:
+            state = train_state_from_params(initial_params, cfg)
+        else:
+            state = init_train_state(self.model, cfg, init_key)
+        state = jax.device_put(state, replicated_sharding(self.mesh))
+
+        manager = self._ckpt_manager(cfg.checkpoint_dir)
+        if restore:
+            state, restored_step = self.restore_checkpoint(manager, state)
+            if restored_step:
+                print(f"[trainer] resumed from step {restored_step}")
+
+        step = int(state["step"])
+        t_start = time.time()
+        window_losses = []
+        while step < cfg.max_steps:
+            for batch in datamodule.train_batches(
+                jax.random.fold_in(data_key, step)
+            ):
+                if step >= cfg.max_steps:
+                    break
+                batch = shard_batch(batch, self.mesh)
+                state, metrics = self._train_step(state, batch, train_key)
+                step += 1
+                window_losses.append(metrics["loss"])
+
+                if step % cfg.log_every_n_steps == 0:
+                    losses = [float(l) for l in window_losses]
+                    window_losses = []
+                    lr = float(make_lr_schedule(cfg)(step))
+                    rate = cfg.log_every_n_steps / max(
+                        1e-9, time.time() - t_start
+                    )
+                    t_start = time.time()
+                    self._log(
+                        {
+                            "train/loss": float(np.mean(losses)),
+                            "train/lr": lr,
+                            "train/steps_per_sec": rate,
+                        },
+                        step,
+                    )
+
+                if step % cfg.val_every_n_steps == 0 or step >= cfg.max_steps:
+                    val_loss = self.evaluate(
+                        state["params"],
+                        datamodule.val_batches(),
+                        eval_key,
+                        log_audio_step=step,
+                    )
+                    self._log({"val/loss": val_loss}, step)
+                    self.save_checkpoint(manager, state, val_loss)
+
+        manager.wait_until_finished()
+        return state
+
+    def test(self, state: Dict, datamodule, key: Optional[jax.Array] = None) -> float:
+        key = key if key is not None else jax.random.PRNGKey(0)
+        loss = self.evaluate(
+            state["params"],
+            datamodule.test_batches(),
+            key,
+            log_audio_step=int(state["step"]),
+            prefix="test",
+        )
+        self._log({"test/loss": loss}, int(state["step"]))
+        return loss

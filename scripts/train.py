@@ -1,0 +1,110 @@
+"""Train a NEWT model (CLI parity with reference scripts/train.py:20-77).
+
+Example:
+    python scripts/train.py --gin-file gin/train/train_newt.gin \
+        --dataset-path /data/urmp_processed --urmp --instrument vn
+
+The PL Trainer's responsibilities (loop, DP, checkpointing, resume,
+logging) are provided by neural_waveshaping_synthesis_tpu.training.
+``--device`` selects how many TPU devices join the data-parallel mesh
+(default: all; reference used it as a GPU index).
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import click
+
+from neural_waveshaping_synthesis_tpu import minigin as gin
+from neural_waveshaping_synthesis_tpu.data import GeneralDataModule, URMPDataModule
+from neural_waveshaping_synthesis_tpu.models import NeuralWaveshaping
+from neural_waveshaping_synthesis_tpu.parallel import create_mesh
+from neural_waveshaping_synthesis_tpu.training import (
+    ConsoleLogger,
+    CSVLogger,
+    TrainConfig,
+    Trainer,
+)
+
+
+@gin.configurable
+def get_model(model=NeuralWaveshaping):
+    return model()
+
+
+@click.command()
+@click.option("--gin-file", multiple=True, default=("gin/train/train_newt.gin",))
+@click.option("--dataset-path", required=True, help="Dataset root directory")
+@click.option("--urmp", is_flag=True, help="dataset-path is a URMP root with per-instrument subdirs")
+@click.option("--device", default=None, type=int, help="Number of TPU devices for the data-parallel mesh (default: all)")
+@click.option("--instrument", default="vn")
+@click.option("--load-data-to-memory", is_flag=True, default=True)
+@click.option("--with-wandb", is_flag=True)
+@click.option("--restore-checkpoint", is_flag=True, help="Resume from the latest checkpoint in TrainConfig.checkpoint_dir")
+@click.option("--checkpoint-dir", default=None, help="Override TrainConfig.checkpoint_dir")
+@click.option("--log-dir", default="logs", help="CSV/audio log directory")
+@click.option("--from-torch-checkpoint", default="", help="Initialize params from a converted reference .ckpt (fine-tune)")
+def main(
+    gin_file,
+    dataset_path,
+    urmp,
+    device,
+    instrument,
+    load_data_to_memory,
+    with_wandb,
+    restore_checkpoint,
+    checkpoint_dir,
+    log_dir,
+    from_torch_checkpoint,
+):
+    for f in gin_file:
+        gin.parse_config_file(f)
+
+    model = get_model()
+    cfg_kwargs = {}
+    if checkpoint_dir:
+        cfg_kwargs["checkpoint_dir"] = checkpoint_dir
+    cfg = TrainConfig(**cfg_kwargs)
+
+    if urmp:
+        data = URMPDataModule(
+            dataset_path, instrument, load_to_memory=load_data_to_memory
+        )
+    else:
+        data = GeneralDataModule(dataset_path, load_to_memory=load_data_to_memory)
+
+    loggers = [ConsoleLogger(), CSVLogger(log_dir)]
+    if with_wandb:
+        from neural_waveshaping_synthesis_tpu.training import WandbLogger
+
+        loggers.append(WandbLogger())
+
+    mesh = create_mesh(n_devices=device)
+    print(
+        f"[train] data-parallel over {mesh.shape['data']} device(s); "
+        f"max_steps={cfg.max_steps} batch={data.batch_size}"
+    )
+    print(gin.operative_config_str())
+
+    initial_params = None
+    if from_torch_checkpoint:
+        import jax.numpy as jnp
+        import jax
+
+        from neural_waveshaping_synthesis_tpu.convert import (
+            load_reference_checkpoint,
+        )
+
+        initial_params, _, _, _ = load_reference_checkpoint(from_torch_checkpoint)
+        initial_params = jax.tree_util.tree_map(jnp.asarray, initial_params)
+
+    trainer = Trainer(model, cfg, mesh=mesh, loggers=loggers)
+    state = trainer.fit(
+        data, restore=restore_checkpoint, initial_params=initial_params
+    )
+    print(f"[train] finished at step {int(state['step'])}")
+
+
+if __name__ == "__main__":
+    main()
