@@ -22,3 +22,29 @@ Design stance (not a port):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache() -> None:
+    """Persist XLA compilations across processes (the remote TPU compile
+    service in this environment takes seconds-to-minutes per program;
+    the cache makes every CLI after the first start instantly).
+    Opt out with NWS_TPU_NO_COMPILE_CACHE=1."""
+    import os
+
+    if os.environ.get("NWS_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "NWS_TPU_COMPILE_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".nws_tpu_jax_cache"),
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()

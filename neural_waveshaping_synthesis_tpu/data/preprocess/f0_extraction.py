@@ -1,0 +1,143 @@
+"""F0 extraction (reference ``data/utils/f0_extraction.py``).
+
+Two gin-selectable extractors with the same (f0, confidence) contract:
+
+  * ``extract_f0_with_crepe`` — the reference's primary path
+    (torchcrepe full model, Viterbi, harmonicity). Runs the JAX CREPE
+    port (models/crepe.py); needs a converted pretrained weight file
+    (``weights_path`` gin-binding or $CREPE_WEIGHTS). On TPU, all of a
+    file's windows batch through the CNN as one XLA program.
+  * ``extract_f0_with_yin`` — dependency-free fallback filling the role
+    of the reference's pYIN alternative (f0_extraction.py:60-92), fully
+    on-device.
+"""
+import os
+from typing import Callable, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ... import minigin as gin
+from ...models import crepe as crepe_mod
+from ...ops.f0 import yin_f0
+from .bucketing import pad_to_quantum
+
+CREPE_WINDOW_LENGTH = 1024
+
+_CREPE_CACHE = {}
+
+_yin_jit = None
+
+
+def _get_yin_jit():
+    global _yin_jit
+    if _yin_jit is None:
+        import jax as _jax
+
+        _yin_jit = _jax.jit(
+            yin_f0,
+            static_argnames=(
+                "sample_rate",
+                "frame_length",
+                "hop_length",
+                "fmin",
+                "fmax",
+                "threshold",
+            ),
+        )
+    return _yin_jit
+
+
+def _get_crepe(capacity: str, weights_path: Optional[str]):
+    key = (capacity, weights_path)
+    if key not in _CREPE_CACHE:
+        model = crepe_mod.Crepe(capacity=capacity)
+        if weights_path:
+            params = crepe_mod.load_torchcrepe_weights(weights_path)
+        else:
+            raise FileNotFoundError(
+                "CREPE pretrained weights are required for "
+                "extract_f0_with_crepe. Provide a torchcrepe .pth via the "
+                "gin binding extract_f0_with_crepe.weights_path or the "
+                "CREPE_WEIGHTS env var, or select "
+                "@extract_f0_with_yin as preprocess_audio.f0_extractor."
+            )
+        params = jax.tree_util.tree_map(jax.numpy.asarray, params)
+        _CREPE_CACHE[key] = (model, params)
+    return _CREPE_CACHE[key]
+
+
+@gin.configurable
+def extract_f0_with_crepe(
+    audio: np.ndarray,
+    sample_rate: float = 16000,
+    hop_length: int = 128,
+    minimum_frequency: float = 50.0,
+    maximum_frequency: float = 2000.0,
+    full_model: bool = True,
+    batch_size: int = 2048,
+    weights_path: Optional[str] = None,
+    decoder: str = "viterbi",
+    interpolate_fn: Optional[Callable] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(T,) float32 16 kHz audio -> (f0, confidence) at sr/hop frames."""
+    weights_path = weights_path or os.environ.get("CREPE_WEIGHTS")
+    model, params = _get_crepe("full" if full_model else "tiny", weights_path)
+    f0, confidence = crepe_mod.predict(
+        model,
+        params,
+        audio,
+        sample_rate=sample_rate,
+        hop_length=hop_length,
+        fmin=minimum_frequency,
+        fmax=maximum_frequency,
+        batch_size=batch_size,
+        decoder=decoder,
+    )
+    if interpolate_fn:
+        f0 = interpolate_fn(
+            f0, CREPE_WINDOW_LENGTH, hop_length, original_length=audio.shape[-1]
+        )
+        confidence = interpolate_fn(
+            confidence,
+            CREPE_WINDOW_LENGTH,
+            hop_length,
+            original_length=audio.shape[-1],
+        )
+    return np.asarray(f0), np.asarray(confidence)
+
+
+@gin.configurable
+def extract_f0_with_yin(
+    audio: np.ndarray,
+    sample_rate: float = 16000,
+    hop_length: int = 128,
+    frame_length: int = 1024,
+    minimum_frequency: float = 50.0,
+    maximum_frequency: float = 2000.0,
+    threshold: float = 0.1,
+    interpolate_fn: Optional[Callable] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    import jax.numpy as jnp
+
+    padded, true_len = pad_to_quantum(np.asarray(audio, np.float32))
+    n_frames = 1 + true_len // hop_length
+    f0, periodicity = _get_yin_jit()(
+        jnp.asarray(padded),
+        sample_rate=sample_rate,
+        frame_length=frame_length,
+        hop_length=hop_length,
+        fmin=minimum_frequency,
+        fmax=maximum_frequency,
+        threshold=threshold,
+    )
+    f0 = np.asarray(f0)[..., :n_frames]
+    periodicity = np.asarray(periodicity)[..., :n_frames]
+    if interpolate_fn:
+        f0 = interpolate_fn(
+            f0, frame_length, hop_length, original_length=audio.shape[-1]
+        )
+        periodicity = interpolate_fn(
+            periodicity, frame_length, hop_length, original_length=audio.shape[-1]
+        )
+    return f0, periodicity

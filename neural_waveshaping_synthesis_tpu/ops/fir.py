@@ -106,6 +106,40 @@ def fft_convolve_circular(x: jnp.ndarray, ir: jnp.ndarray) -> jnp.ndarray:
     return y[..., :t]
 
 
+def partition_ir_spectra(ir: jnp.ndarray, block: int) -> jnp.ndarray:
+    """Split an IR into zero-padded blocks and rfft each at 2*block ->
+    (P, block+1) complex spectra (precompute once per block size)."""
+    n_part = -(-ir.shape[-1] // block)
+    padded = jnp.pad(ir, (0, n_part * block - ir.shape[-1]))
+    return jnp.fft.rfft(padded.reshape(n_part, block), n=2 * block, axis=-1)
+
+
+def partitioned_convolve_step(
+    x_block: jnp.ndarray,
+    fdl: jnp.ndarray,
+    tail: jnp.ndarray,
+    ir_spectra: jnp.ndarray,
+):
+    """One block of uniform-partitioned FFT convolution (streaming linear
+    convolution with an arbitrarily long IR at one-block latency).
+
+    Args:
+      x_block: (B, N) new input block.
+      fdl: (B, P, N+1) frequency-domain delay line (newest first).
+      tail: (B, N) overlap-add carry.
+      ir_spectra: (P, N+1) from ``partition_ir_spectra``.
+
+    Returns: (y (B, N), fdl', tail').
+    """
+    n = x_block.shape[-1]
+    x_spec = jnp.fft.rfft(x_block, n=2 * n, axis=-1)
+    fdl = jnp.roll(fdl, 1, axis=1).at[:, 0, :].set(x_spec)
+    acc = jnp.einsum("bpk,pk->bk", fdl, ir_spectra)
+    full = jnp.fft.irfft(acc, n=2 * n, axis=-1)
+    y = full[..., :n] + tail
+    return y, fdl, full[..., n:]
+
+
 def fft_convolve_full(x: jnp.ndarray, ir: jnp.ndarray) -> jnp.ndarray:
     """Linear (non-circular) FFT convolution, full length T + T_ir - 1.
 

@@ -31,14 +31,36 @@ def frame_signal(
 
     n_frames = 1 + (T - frame_length) // hop_length  (complete frames only,
     matching torch.stft / librosa.util.frame).
+
+    Built from strided slices over gcd-sized blocks instead of a 2-D
+    gather: frame j is the concatenation of frame_length/g consecutive
+    g-blocks starting at block j*hop/g. Large-index gathers compile
+    pathologically on the TPU backend (minutes); k static strided
+    slices + one concat compile in milliseconds and run equally fast.
     """
+    import math
+
     t = x.shape[-1]
     n_frames = 1 + (t - frame_length) // hop_length
-    idx = (
-        jnp.arange(n_frames)[:, None] * hop_length
-        + jnp.arange(frame_length)[None, :]
-    )
-    return x[..., idx]
+    g = math.gcd(frame_length, hop_length)
+    k = frame_length // g
+    s = hop_length // g
+
+    if k > 512:
+        # degenerate hop/frame ratios: fall back to the gather form
+        idx = (
+            jnp.arange(n_frames)[:, None] * hop_length
+            + jnp.arange(frame_length)[None, :]
+        )
+        return x[..., idx]
+
+    nb = t // g
+    blocks = x[..., : nb * g].reshape(x.shape[:-1] + (nb, g))
+    parts = [
+        jax.lax.slice_in_dim(blocks, i, i + (n_frames - 1) * s + 1, s, axis=-2)
+        for i in range(k)
+    ]
+    return jnp.concatenate(parts, axis=-1)
 
 
 def _pad_center(x: jnp.ndarray, n_fft: int, pad_mode: str) -> jnp.ndarray:

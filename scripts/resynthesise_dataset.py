@@ -1,0 +1,95 @@
+"""Batch resynthesis of a dataset split, writing <name>.target.wav /
+<name>.output.wav pairs (reference scripts/resynthesise_dataset.py —
+which ships broken: it imports a nonexistent URMPDataset (its :9,41);
+this implements the evident intent with GeneralDataset).
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import click
+import numpy as np
+from scipy.io import wavfile
+
+from neural_waveshaping_synthesis_tpu import minigin as gin
+
+
+def write_wav(path: str, audio: np.ndarray, sample_rate: int):
+    peak = np.abs(audio).max()
+    scaled = audio / peak * 0.9 if peak > 0 else audio
+    wavfile.write(path, sample_rate, (scaled * 32767).astype(np.int16))
+
+
+@click.command()
+@click.option("--gin-file", multiple=True, default=("gin/models/newt.gin",))
+@click.option("--dataset-path", required=True)
+@click.option("--instrument", default="", help="URMP instrument subdir (optional)")
+@click.option("--split", default="test")
+@click.option("--checkpoint", required=True,
+              help="orbax checkpoint dir OR a reference PL .ckpt file")
+@click.option("--output-path", required=True)
+@click.option("--batch-size", default=8)
+@click.option("--use-fast-newt", is_flag=True,
+              help="Swap the shaper bank for the baked lookup table")
+@click.option("--seed", default=0)
+def main(gin_file, dataset_path, instrument, split, checkpoint, output_path,
+         batch_size, use_fast_newt, seed):
+    import jax
+    import jax.numpy as jnp
+
+    from neural_waveshaping_synthesis_tpu.data import GeneralDataset
+    from neural_waveshaping_synthesis_tpu.models import NeuralWaveshaping
+
+    for f in gin_file:
+        gin.parse_config_file(f)
+
+    model = NeuralWaveshaping()
+    if os.path.isfile(checkpoint):
+        from neural_waveshaping_synthesis_tpu.convert import (
+            load_reference_checkpoint,
+        )
+
+        params, _, _, _ = load_reference_checkpoint(checkpoint)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+    else:
+        import orbax.checkpoint as ocp
+
+        mngr = ocp.CheckpointManager(os.path.abspath(checkpoint))
+        step = mngr.latest_step()
+        if step is None:
+            raise click.ClickException(f"no checkpoints in {checkpoint}")
+        restored = mngr.restore(step)
+        params = jax.tree_util.tree_map(jnp.asarray, restored["params"])
+        print(f"[resynthesise] restored step {step}")
+
+    root = os.path.join(dataset_path, instrument) if instrument else dataset_path
+    dataset = GeneralDataset(root, split)
+    os.makedirs(output_path, exist_ok=True)
+
+    table = model.newt.bake_lookup_table(params["newt"]) if use_fast_newt else None
+    fwd = jax.jit(
+        lambda p, f, c, k: model.apply(p, f, c, key=k, lookup_table=table)
+    )
+
+    sr = int(model.sample_rate)
+    key = jax.random.PRNGKey(seed)
+    n = len(dataset)
+    for start in range(0, n, batch_size):
+        idx = np.arange(start, min(start + batch_size, n))
+        batch = dataset.batch(idx)
+        key, sub = jax.random.split(key)
+        recon = np.asarray(
+            fwd(params, jnp.asarray(batch["f0"]), jnp.asarray(batch["control"]), sub)
+        )
+        for row, i in enumerate(idx):
+            name = dataset.names[i]
+            write_wav(os.path.join(output_path, f"{name}.target.wav"),
+                      batch["audio"][row], sr)
+            write_wav(os.path.join(output_path, f"{name}.output.wav"),
+                      recon[row], sr)
+        print(f"[resynthesise] {min(start + batch_size, n)}/{n}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Latency sweep over buffer sizes (reference scripts/time_buffer_sizes.py:
+buffers [256..32768] samples, control frames = buffer//128, 10 warm-ups,
+100 timed iterations, CSV rows [model, device, buffer_size, seconds]).
+
+Two modes:
+  * default — stateless forwards per buffer (reference behavior: no
+    state carry, SURVEY.md §2a #24);
+  * --streaming — the real streaming path with carried GRU/phase/
+    OLA/reverb state (capability upgrade; measures the true per-buffer
+    serving latency including the partitioned-convolution reverb).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import click
+import numpy as np
+import pandas as pd
+
+BUFFER_SIZES = [256, 512, 1024, 2048, 4096, 8192, 16384, 32768]
+
+
+@click.command()
+@click.option("--gin-file", multiple=True, default=("gin/models/newt.gin",))
+@click.option("--checkpoint", default="")
+@click.option("--iterations", default=100)
+@click.option("--warmup", default=10)
+@click.option("--use-fast-newt", is_flag=True)
+@click.option("--streaming", is_flag=True)
+@click.option("--output-csv", default="buffer_times.csv")
+@click.option("--buffers", default=",".join(map(str, BUFFER_SIZES)))
+def main(gin_file, checkpoint, iterations, warmup, use_fast_newt, streaming,
+         output_csv, buffers):
+    import jax
+    import jax.numpy as jnp
+
+    from neural_waveshaping_synthesis_tpu import minigin as gin
+    from neural_waveshaping_synthesis_tpu.models import NeuralWaveshaping
+
+    for f in gin_file:
+        gin.parse_config_file(f)
+    model = NeuralWaveshaping()
+
+    if checkpoint:
+        from neural_waveshaping_synthesis_tpu.convert import (
+            load_reference_checkpoint,
+        )
+
+        params, _, _, _ = load_reference_checkpoint(checkpoint)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+    else:
+        params = model.init(jax.random.PRNGKey(0))
+
+    device = str(jax.devices()[0])
+    mode = "streaming" if streaming else "stateless"
+    model_name = f"newt_tpu_{mode}" + ("_fast" if use_fast_newt else "")
+    table = model.newt.bake_lookup_table(params["newt"]) if use_fast_newt else None
+
+    rows = []
+    rng = np.random.default_rng(0)
+    for buffer_size in [int(b) for b in buffers.split(",")]:
+        frames = buffer_size // model.control_hop
+        if frames < 1:
+            continue
+        f0 = jnp.asarray((220.0 + 220.0 * rng.random((1, frames))).astype(np.float32))
+        control = jnp.asarray(rng.standard_normal((1, frames, 2)).astype(np.float32))
+
+        if streaming:
+            from neural_waveshaping_synthesis_tpu.streaming import StreamingSynth
+
+            synth = StreamingSynth(model, frames)
+            ir_spectra = synth.ir_partition_spectra(params)
+            step = jax.jit(synth.step)
+            state = synth.init_state(params, 1, jax.random.PRNGKey(0))
+            for _ in range(warmup):
+                audio, state = step(params, state, f0, control, ir_spectra)
+            audio.block_until_ready()
+            times = []
+            for _ in range(iterations):
+                t0 = time.perf_counter()
+                audio, state = step(params, state, f0, control, ir_spectra)
+                audio.block_until_ready()
+                times.append(time.perf_counter() - t0)
+        else:
+            fwd = jax.jit(
+                lambda p, f, c, k: model.apply(p, f, c, key=k, lookup_table=table)
+            )
+            for i in range(warmup):
+                out = fwd(params, f0, control, jax.random.PRNGKey(i))
+            out.block_until_ready()
+            times = []
+            for i in range(iterations):
+                t0 = time.perf_counter()
+                fwd(params, f0, control, jax.random.PRNGKey(i)).block_until_ready()
+                times.append(time.perf_counter() - t0)
+
+        times = np.asarray(times)
+        budget = buffer_size / model.sample_rate
+        print(
+            f"buffer {buffer_size:6d}: p50 {np.percentile(times,50)*1000:7.3f} ms  "
+            f"p90 {np.percentile(times,90)*1000:7.3f} ms  "
+            f"budget {budget*1000:7.3f} ms  "
+            f"{'OK' if np.percentile(times,50) < budget else 'OVER'}"
+        )
+        rows += [
+            {"model": model_name, "device": device, "buffer_size": buffer_size,
+             "seconds": t}
+            for t in times
+        ]
+
+    pd.DataFrame(rows).to_csv(output_csv, index=False)
+    print(f"wrote {output_csv}")
+
+
+if __name__ == "__main__":
+    main()

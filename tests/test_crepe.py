@@ -1,0 +1,151 @@
+"""CREPE-JAX tests: architecture shapes, torchcrepe layout-conversion
+parity (random weights through a stock-torch oracle), Viterbi decoding,
+and cents refinement."""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from neural_waveshaping_synthesis_tpu.models import crepe
+
+
+def test_apply_shapes_random_weights():
+    model = crepe.Crepe(capacity="tiny")
+    params = model.init(jax.random.PRNGKey(0))
+    out = model.apply(params, jnp.zeros((3, 1024)))
+    assert out.shape == (3, 360)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_frame_audio_normalization(rng):
+    audio = rng.standard_normal(4096).astype(np.float32) * 3.0 + 1.0
+    frames = crepe.frame_audio(jnp.asarray(audio), 128)
+    assert frames.shape == (1 + 4096 // 128, 1024)
+    f = np.asarray(frames)
+    np.testing.assert_allclose(f.mean(-1), 0.0, atol=1e-4)
+    # interior frames (no zero padding) have unit std
+    np.testing.assert_allclose(f[5:-5].std(-1), 1.0, atol=1e-3)
+
+
+def _make_torch_tiny_state(rng):
+    """Random weights in torchcrepe's state-dict layout, tiny capacity."""
+    filters = [4 * f for f in (32, 4, 4, 4, 8, 16)]
+    widths = (512, 64, 64, 64, 64, 64)
+    sd = {}
+    in_ch = 1
+    for i, (out_ch, w) in enumerate(zip(filters, widths), start=1):
+        sd[f"conv{i}.weight"] = torch.tensor(
+            rng.standard_normal((out_ch, in_ch, w, 1)).astype(np.float32) * 0.05
+        )
+        sd[f"conv{i}.bias"] = torch.tensor(
+            rng.standard_normal(out_ch).astype(np.float32) * 0.05
+        )
+        sd[f"conv{i}_BN.weight"] = torch.tensor(
+            1.0 + 0.1 * rng.standard_normal(out_ch).astype(np.float32)
+        )
+        sd[f"conv{i}_BN.bias"] = torch.tensor(
+            0.1 * rng.standard_normal(out_ch).astype(np.float32)
+        )
+        sd[f"conv{i}_BN.running_mean"] = torch.tensor(
+            0.1 * rng.standard_normal(out_ch).astype(np.float32)
+        )
+        sd[f"conv{i}_BN.running_var"] = torch.tensor(
+            (1.0 + 0.1 * rng.random(out_ch)).astype(np.float32)
+        )
+        in_ch = out_ch
+    sd["classifier.weight"] = torch.tensor(
+        rng.standard_normal((360, 4 * filters[-1])).astype(np.float32) * 0.05
+    )
+    sd["classifier.bias"] = torch.tensor(
+        rng.standard_normal(360).astype(np.float32) * 0.05
+    )
+    return sd
+
+
+def _torch_crepe_forward(sd, x):
+    """Stock-torch oracle of the torchcrepe graph (conv2d + relu + BN eval
+    + maxpool(2,1), keras-'same' pads, time-major flatten, sigmoid)."""
+    pads = [(254, 254)] + [(31, 32)] * 5
+    strides = [(4, 1)] + [(1, 1)] * 5
+    h = x[:, None, :, None]  # (B, 1, W, 1)
+    with torch.no_grad():
+        for i in range(1, 7):
+            p = pads[i - 1]
+            h = F.pad(h, (0, 0, p[0], p[1]))
+            h = F.conv2d(h, sd[f"conv{i}.weight"], sd[f"conv{i}.bias"], strides[i - 1])
+            h = F.relu(h)
+            h = F.batch_norm(
+                h,
+                sd[f"conv{i}_BN.running_mean"],
+                sd[f"conv{i}_BN.running_var"],
+                sd[f"conv{i}_BN.weight"],
+                sd[f"conv{i}_BN.bias"],
+                training=False,
+                eps=1e-3,
+            )
+            h = F.max_pool2d(h, (2, 1), (2, 1))
+        h = h.permute(0, 2, 1, 3).reshape(h.shape[0], -1)
+        return torch.sigmoid(
+            F.linear(h, sd["classifier.weight"], sd["classifier.bias"])
+        )
+
+
+def test_conversion_matches_torch_oracle(rng):
+    sd = _make_torch_tiny_state(rng)
+    params = jax.tree_util.tree_map(
+        jnp.asarray, crepe.convert_torchcrepe_state_dict(sd)
+    )
+    model = crepe.Crepe(capacity="tiny")
+    x = rng.standard_normal((4, 1024)).astype(np.float32)
+    ours = np.asarray(model.apply(params, jnp.asarray(x)))
+    ref = _torch_crepe_forward(sd, torch.tensor(x)).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-5)
+
+
+def test_viterbi_follows_ridge(rng):
+    """A noisy posteriorgram with a slowly drifting ridge: Viterbi must
+    track it where frame-wise argmax jumps to noise spikes."""
+    t, drift = 200, 0.25
+    bins = (100 + drift * np.arange(t)).astype(int)
+    probs = rng.random((t, 360)).astype(np.float32) * 0.3
+    probs[np.arange(t), bins] = 0.9
+    # inject hard outlier frames that argmax would chase
+    outliers = rng.choice(t, 20, replace=False)
+    probs[outliers, 300] = 1.0
+
+    path = np.asarray(crepe.viterbi_decode(jnp.asarray(probs)))
+    am = np.asarray(crepe.argmax_decode(jnp.asarray(probs)))
+    viterbi_err = np.abs(path - bins).mean()
+    argmax_err = np.abs(am - bins).mean()
+    assert viterbi_err < 1.0, viterbi_err
+    assert argmax_err > viterbi_err  # argmax chased the outliers
+
+
+def test_local_average_cents_single_peak():
+    probs = np.zeros((1, 360), np.float32)
+    probs[0, 150] = 1.0
+    cents = crepe.local_average_cents(jnp.asarray(probs), jnp.asarray([150]))
+    assert float(cents[0]) == pytest.approx(crepe.bins_to_cents(150))
+
+
+def test_bin_frequency_roundtrip():
+    freqs = np.array([55.0, 440.0, 1000.0])
+    bins = crepe.frequency_to_bins(jnp.asarray(freqs))
+    back = crepe.cents_to_frequency(crepe.bins_to_cents(bins))
+    np.testing.assert_allclose(np.asarray(back), freqs, rtol=1e-6)
+
+
+def test_predict_random_weights_shapes():
+    """predict() plumbing: framing, bucketing, masking, decode — with
+    random weights the values are meaningless but shapes/finiteness and
+    the fmin/fmax mask contract must hold."""
+    model = crepe.Crepe(capacity="tiny")
+    params = model.init(jax.random.PRNGKey(0))
+    audio = np.sin(2 * np.pi * 440 * np.arange(16000) / 16000).astype(np.float32)
+    f0, conf = crepe.predict(model, params, audio, decoder="viterbi")
+    assert f0.shape == conf.shape == (1 + 16000 // 128,)
+    assert np.isfinite(f0).all()
+    assert (f0 >= 50.0 - 15).all() and (f0 <= 2000.0 + 600).all()  # mask ± refinement
