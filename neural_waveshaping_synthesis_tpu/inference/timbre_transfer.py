@@ -1,0 +1,167 @@
+"""Timbre transfer: arbitrary audio -> control signals -> NEWT synthesis.
+
+Functional equivalent of the reference colab
+(``colab/NEWT_Timbre_Transfer.ipynb`` cells 14/15/17/18):
+
+  1. extract F0 (CREPE, max 1000 Hz — or YIN) + perceptual loudness;
+  2. adjust controls: confidence gating, octave shift, loudness
+     floor/scale, optional box-filter smoothing;
+  3. z-score with the target instrument's dataset stats;
+  4. synthesize (optionally with the FastNEWT table).
+
+Quirk parity with the colab (cell 15): the model receives the SHIFTED,
+SMOOTHED f0 in plain Hz (not normalized), while the control stack gets
+the normalized versions; loudness is smoothed after normalization, f0
+before. The floor subtracts: x*(x>floor) - floor (going negative where
+gated — exactly the colab's arithmetic).
+"""
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+from ..data.preprocess.f0_extraction import (
+    extract_f0_with_crepe,
+    extract_f0_with_yin,
+)
+from ..data.preprocess.loudness_extraction import extract_perceptual_loudness
+from ..data.preprocess.preprocess_audio import (
+    convert_to_float32_audio,
+    make_monophonic,
+    resample_audio,
+)
+
+
+def extract_features(
+    audio: np.ndarray,
+    sample_rate: float,
+    target_sr: float = 16000,
+    f0_extractor: str = "yin",
+    crepe_weights: Optional[str] = None,
+    maximum_frequency: float = 1000.0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """-> (audio_16k, f0, confidence, loudness) at the 125 Hz frame rate."""
+    audio = make_monophonic(convert_to_float32_audio(np.asarray(audio)))
+    if sample_rate != target_sr:
+        audio = resample_audio(audio, sample_rate, target_sr)
+    if f0_extractor == "crepe":
+        f0, confidence = extract_f0_with_crepe(
+            audio, maximum_frequency=maximum_frequency, weights_path=crepe_weights
+        )
+    else:
+        f0, confidence = extract_f0_with_yin(
+            audio, maximum_frequency=maximum_frequency
+        )
+    loudness = extract_perceptual_loudness(audio, n_fft=1024, hop_length=128)
+    return audio, f0, confidence, loudness
+
+
+@dataclass(frozen=True)
+class ControlAdjustments:
+    """The colab's cell-15 sliders."""
+
+    octave_shift: int = 0
+    loudness_scale: float = 1.0
+    loudness_floor: float = 0.0
+    loudness_conf_filter: float = 0.0
+    pitch_conf_filter: float = 0.0
+    pitch_smoothing: int = 0
+    loudness_smoothing: int = 0
+
+
+def _box_smooth(x: np.ndarray, half_width: int) -> np.ndarray:
+    """Zero-padded moving average of width 2*half_width+1 (the colab's
+    conv1d with a ones kernel)."""
+    if half_width == 0:
+        return x
+    w = 2 * half_width + 1
+    kernel = np.ones(w) / w
+    return np.convolve(np.pad(x, (half_width, half_width)), kernel, mode="valid")
+
+
+def adjust_controls(
+    f0: np.ndarray,
+    confidence: np.ndarray,
+    loudness: np.ndarray,
+    data_mean: np.ndarray,
+    data_std: np.ndarray,
+    adjustments: ControlAdjustments = ControlAdjustments(),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """-> (f0_hz (Tc,), control (Tc, 2)) ready for the model."""
+    a = adjustments
+    f0_filtered = f0 * (confidence > a.pitch_conf_filter)
+    loud_filtered = loudness * (confidence > a.loudness_conf_filter)
+    f0_shifted = f0_filtered * (2.0**a.octave_shift)
+    loud_floored = loud_filtered * (loud_filtered > a.loudness_floor) - a.loudness_floor
+    loud_scaled = loud_floored * a.loudness_scale
+
+    loud_norm = (loud_scaled - data_mean[1, 0]) / data_std[1, 0]
+
+    f0_hz = _box_smooth(f0_shifted, a.pitch_smoothing)
+    loud_norm = _box_smooth(loud_norm, a.loudness_smoothing)
+    f0_norm = (f0_hz - data_mean[0, 0]) / data_std[0, 0]
+
+    control = np.stack([f0_norm, loud_norm], axis=-1).astype(np.float32)
+    return f0_hz.astype(np.float32), control
+
+
+def timbre_transfer(
+    model,
+    params: Dict,
+    audio: np.ndarray,
+    sample_rate: float,
+    data_mean: np.ndarray,
+    data_std: np.ndarray,
+    adjustments: ControlAdjustments = ControlAdjustments(),
+    f0_extractor: str = "yin",
+    crepe_weights: Optional[str] = None,
+    use_fast_newt: bool = False,
+    seed: int = 0,
+    frame_bucket: int = 256,
+) -> Tuple[np.ndarray, float]:
+    """Full pipeline -> (synthesized audio (T,), x_realtime factor).
+
+    The returned speed factor is audio_seconds / synthesis_wall_seconds
+    for the single jitted forward (the colab cell-18 report), measured
+    after compilation. Control length is zero-padded up to a multiple of
+    ``frame_bucket`` frames so arbitrary input lengths reuse a handful
+    of compiled programs (trimmed after synthesis).
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    _, f0, confidence, loudness = extract_features(
+        audio, sample_rate, model.sample_rate, f0_extractor, crepe_weights
+    )
+    f0_hz, control = adjust_controls(
+        f0, confidence, loudness, data_mean, data_std, adjustments
+    )
+
+    tc = f0_hz.shape[0]
+    pad = (-tc) % frame_bucket
+    if pad:
+        f0_pad = np.pad(f0_hz, (0, pad))
+        ctrl_pad = np.pad(control, ((0, pad), (0, 0)))
+    else:
+        f0_pad, ctrl_pad = f0_hz, control
+
+    table = (
+        model.newt.bake_lookup_table(params["newt"]) if use_fast_newt else None
+    )
+    fwd = jax.jit(
+        lambda p, f, c, k: model.apply(p, f, c, key=k, lookup_table=table)
+    )
+    f0_in = jnp.asarray(f0_pad[None])
+    ctrl_in = jnp.asarray(ctrl_pad[None])
+    key = jax.random.PRNGKey(seed)
+    fwd(params, f0_in, ctrl_in, key).block_until_ready()  # compile
+
+    t0 = time.perf_counter()
+    out = fwd(params, f0_in, ctrl_in, key)
+    out.block_until_ready()
+    wall = time.perf_counter() - t0
+
+    audio_seconds = tc * model.control_hop / model.sample_rate
+    return np.asarray(out[0, : tc * model.control_hop]), audio_seconds / wall

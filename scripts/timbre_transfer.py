@@ -1,0 +1,93 @@
+"""Timbre transfer CLI — the reference colab's workflow
+(colab/NEWT_Timbre_Transfer.ipynb) as a command:
+
+    python scripts/timbre_transfer.py --input voice.wav \
+        --checkpoint /path/nws/vn/last.ckpt --output violin_voice.wav \
+        --octave-shift 1 --loudness-scale 0.5
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import click
+import numpy as np
+from scipy.io import wavfile
+
+from neural_waveshaping_synthesis_tpu import minigin as gin
+
+
+@click.command()
+@click.option("--gin-file", multiple=True, default=("gin/models/newt.gin",))
+@click.option("--input", "input_path", required=True)
+@click.option("--checkpoint", required=True, help="reference PL .ckpt (stats read from its directory)")
+@click.option("--output", "output_path", required=True)
+@click.option("--octave-shift", default=0)
+@click.option("--loudness-scale", default=1.0)
+@click.option("--loudness-floor", default=0.0)
+@click.option("--loudness-conf-filter", default=0.0)
+@click.option("--pitch-conf-filter", default=0.0)
+@click.option("--pitch-smoothing", default=0)
+@click.option("--loudness-smoothing", default=0)
+@click.option("--f0-extractor", default="yin", type=click.Choice(["yin", "crepe"]))
+@click.option("--crepe-weights", default="")
+@click.option("--use-fast-newt", is_flag=True)
+@click.option("--seed", default=0)
+def main(gin_file, input_path, checkpoint, output_path, octave_shift,
+         loudness_scale, loudness_floor, loudness_conf_filter,
+         pitch_conf_filter, pitch_smoothing, loudness_smoothing,
+         f0_extractor, crepe_weights, use_fast_newt, seed):
+    import jax
+    import jax.numpy as jnp
+
+    from neural_waveshaping_synthesis_tpu.convert import load_reference_checkpoint
+    from neural_waveshaping_synthesis_tpu.inference import (
+        ControlAdjustments,
+        timbre_transfer,
+    )
+    from neural_waveshaping_synthesis_tpu.models import NeuralWaveshaping
+
+    for f in gin_file:
+        gin.parse_config_file(f)
+    model = NeuralWaveshaping()
+    params, _, data_mean, data_std = load_reference_checkpoint(checkpoint)
+    if data_mean is None:
+        raise click.ClickException(
+            "data_mean.npy/data_std.npy not found next to the checkpoint"
+        )
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    sr, audio = wavfile.read(input_path)
+    out, speed = timbre_transfer(
+        model,
+        params,
+        audio,
+        sr,
+        data_mean,
+        data_std,
+        ControlAdjustments(
+            octave_shift=octave_shift,
+            loudness_scale=loudness_scale,
+            loudness_floor=loudness_floor,
+            loudness_conf_filter=loudness_conf_filter,
+            pitch_conf_filter=pitch_conf_filter,
+            pitch_smoothing=pitch_smoothing,
+            loudness_smoothing=loudness_smoothing,
+        ),
+        f0_extractor=f0_extractor,
+        crepe_weights=crepe_weights or None,
+        use_fast_newt=use_fast_newt,
+        seed=seed,
+    )
+
+    peak = np.abs(out).max()
+    scaled = out / peak * 0.9 if peak > 0 else out
+    wavfile.write(output_path, int(model.sample_rate),
+                  (scaled * 32767).astype(np.int16))
+    audio_secs = len(out) / model.sample_rate
+    print(f"Synthesized {audio_secs:.2f}s to {output_path} "
+          f"({speed:.0f}x faster than real time)")
+
+
+if __name__ == "__main__":
+    main()
