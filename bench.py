@@ -43,17 +43,24 @@ def main():
     f0 = jnp.asarray((220.0 + 220.0 * rng.random((1, tc))).astype(np.float32))
     control = jnp.asarray(rng.standard_normal((1, tc, 2)).astype(np.float32))
 
-    fwd = jax.jit(lambda p, f, c, k: model.apply(p, f, c, key=k))
-    # warm-up / compile
-    out = fwd(params, f0, control, jax.random.PRNGKey(0))
-    out.block_until_ready()
-
+    # N forwards inside ONE compiled scan, result reduced and FETCHED:
+    # on tunneled TPU runtimes block_until_ready returns before device
+    # execution completes, so loop-and-block timing measures dispatch
+    # latency, not compute. This measures honest device throughput.
     iters = 100
-    keys = [jax.random.PRNGKey(i) for i in range(iters)]
+    base_key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def run(p, f, c):
+        def body(acc, i):
+            out = model.apply(p, f, c, key=jax.random.fold_in(base_key, i))
+            return acc + out[0, 0], None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
+        return acc
+
+    float(run(params, f0, control))  # compile + warm
     t0 = time.perf_counter()
-    for k in keys:
-        out = fwd(params, f0, control, k)
-    out.block_until_ready()
+    float(run(params, f0, control))  # fetch forces real completion
     wall = (time.perf_counter() - t0) / iters
 
     x_realtime = audio_seconds / wall

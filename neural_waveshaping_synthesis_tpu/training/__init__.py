@@ -7,6 +7,8 @@ from .trainer import (
     compute_loss,
     init_train_state,
     make_eval_step,
+    make_batch_gather,
+    make_multi_train_step,
     make_lr_schedule,
     make_optimizer,
     make_train_step,
@@ -22,6 +24,8 @@ __all__ = [
     "compute_loss",
     "init_train_state",
     "make_eval_step",
+    "make_batch_gather",
+    "make_multi_train_step",
     "make_lr_schedule",
     "make_optimizer",
     "make_train_step",

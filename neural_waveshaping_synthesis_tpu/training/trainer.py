@@ -80,9 +80,20 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 def init_train_state(
     model: NeuralWaveshaping, cfg: TrainConfig, key: jax.Array
 ) -> Dict:
-    params = model.init(key)
+    # jit the whole init: eagerly it dispatches ~60 individual RNG ops,
+    # each a separate (slow, remote) backend compile on this platform.
+    params = jax.jit(model.init)(key)
     opt_state = make_optimizer(cfg).init(params)
-    return {"params": params, "opt_state": opt_state, "step": jnp.zeros((), jnp.int32)}
+    return {
+        "params": params,
+        "opt_state": opt_state,
+        "step": jnp.zeros((), jnp.int32),
+        # running loss sum, accumulated ON DEVICE: per-buffer host
+        # operations cost ~100s of ms on tunneled TPU runtimes, so the
+        # trainer reads one scalar per log window and differences it
+        # instead of holding per-step loss scalars.
+        "loss_sum": jnp.zeros((), jnp.float32),
+    }
 
 
 def train_state_from_params(params: Dict, cfg: TrainConfig) -> Dict:
@@ -91,6 +102,7 @@ def train_state_from_params(params: Dict, cfg: TrainConfig) -> Dict:
         "params": params,
         "opt_state": make_optimizer(cfg).init(params),
         "step": jnp.zeros((), jnp.int32),
+        "loss_sum": jnp.zeros((), jnp.float32),
     }
 
 
@@ -123,11 +135,79 @@ def make_train_step(
             "params": params,
             "opt_state": opt_state,
             "step": state["step"] + 1,
+            "loss_sum": state["loss_sum"] + loss,
         }
         metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
         return new_state, metrics
 
     return train_step
+
+
+def make_batch_gather(mesh):
+    """On-device batch assembly as its OWN tiny jitted program.
+
+    Keeps the (small) training split device-resident; batches gather by
+    an index vector. The gather must NOT be fused into the train-step
+    program: on this TPU backend, row gathers embedded in large jit
+    programs compile pathologically (>9 min observed), while the same
+    gather standalone compiles in under a second.
+
+    The index can be (B,) for one batch or (N*B,) for a whole chunk of
+    N steps; outputs shard batch-wise on the data axis either way.
+    """
+    from ..parallel.mesh import batch_sharding, replicated_sharding
+
+    rep = replicated_sharding(mesh)
+    data_sh = batch_sharding(mesh)
+
+    def gather(data: Dict, idx: jnp.ndarray) -> Dict:
+        return {k: v[idx] for k, v in data.items()}
+
+    return jax.jit(
+        gather,
+        in_shardings=(rep, rep),
+        out_shardings={"audio": data_sh, "f0": data_sh, "control": data_sh},
+    )
+
+
+def make_multi_train_step(model: NeuralWaveshaping, cfg: TrainConfig):
+    """N training steps as ONE jitted lax.scan over pre-gathered batches.
+
+    On a tunneled TPU runtime every dispatch, buffer creation, and
+    buffer free is a slow host round-trip (~100s of ms each); a
+    per-step python loop therefore caps out at a few steps/s even
+    though the step itself takes 0.5 ms of device time. Scanning N
+    steps inside one program makes the whole chunk a single dispatch
+    with a single (N,) loss output.
+
+    Batches arrive with a leading scan axis: {audio: (N, B, Ta), ...}.
+    """
+    optimizer = make_optimizer(cfg)
+
+    def one_step(state: Dict, batch: Dict, key: jax.Array):
+        step_key = jax.random.fold_in(key, state["step"])
+        loss, grads = jax.value_and_grad(
+            lambda p: compute_loss(model, p, batch, step_key)
+        )(state["params"])
+        updates, opt_state = optimizer.update(
+            grads, state["opt_state"], state["params"]
+        )
+        params = optax.apply_updates(state["params"], updates)
+        return {
+            "params": params,
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+            "loss_sum": state["loss_sum"] + loss,
+        }, loss
+
+    def multi_step(state: Dict, batches: Dict, key: jax.Array):
+        def body(carry, batch):
+            return one_step(carry, batch, key)
+
+        state, losses = jax.lax.scan(body, state, batches)
+        return state, losses  # (N,) device array — one buffer
+
+    return multi_step
 
 
 def make_eval_step(model: NeuralWaveshaping):
@@ -161,6 +241,25 @@ class Trainer:
         self._train_step = jax.jit(
             make_train_step(model, cfg),
             in_shardings=(rep, batch_shardings, rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+        self._gather_batch = make_batch_gather(self.mesh)
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        chunk_sharding = {
+            k: NamedSharding(self.mesh, P(None, "data"))
+            for k in ("audio", "f0", "control")
+        }
+        self._gather_chunk = jax.jit(
+            lambda data, idx: {k: v[idx] for k, v in data.items()},
+            in_shardings=(rep, rep),
+            out_shardings=chunk_sharding,
+        )
+        self._multi_step = jax.jit(
+            make_multi_train_step(model, cfg),
+            in_shardings=(rep, chunk_sharding, rep),
             out_shardings=(rep, rep),
             donate_argnums=(0,),
         )
@@ -224,11 +323,13 @@ class Trainer:
         log_audio_step: Optional[int] = None,
         prefix: str = "val",
     ) -> float:
-        losses = []
+        total, count = None, 0
         for i, batch in enumerate(batches):
             batch = shard_batch(batch, self.mesh)
             loss, recon = self._eval_step(params, batch, jax.random.fold_in(key, i))
-            losses.append(float(loss))
+            # accumulate on device: one live scalar, one host read at the end
+            total = loss if total is None else total + loss
+            count += 1
             if i == 0 and log_audio_step is not None:
                 self._log_audio(
                     f"{prefix}/original", np.asarray(batch["audio"][0]), log_audio_step
@@ -236,7 +337,9 @@ class Trainer:
                 self._log_audio(
                     f"{prefix}/recon", np.asarray(recon[0]), log_audio_step
                 )
-        return float(np.mean(losses)) if losses else float("nan")
+        if count == 0:
+            return float("nan")
+        return float(np.asarray(total)) / count
 
     def fit(
         self,
@@ -260,46 +363,110 @@ class Trainer:
             if restored_step:
                 print(f"[trainer] resumed from step {restored_step}")
 
+        # Fast path: stage the whole training split on device once and
+        # gather batches inside the jitted step (see make_fused_train_step).
+        device_data = None
+        batch_size = getattr(datamodule, "batch_size", None)
+        train_ds = None
+        if hasattr(datamodule, "dataset"):
+            train_ds = datamodule.dataset("train")
+            if len(train_ds) and batch_size:
+                denorm = train_ds.denormalize(train_ds.control)
+                device_data = jax.device_put(
+                    {
+                        "audio": train_ds.audio,
+                        "f0": denorm[:, :, 0],
+                        "control": train_ds.control,
+                    },
+                    replicated_sharding(self.mesh),
+                )
+                bs = min(batch_size, len(train_ds))
+
         step = int(state["step"])
         t_start = time.time()
-        window_losses = []
-        while step < cfg.max_steps:
-            for batch in datamodule.train_batches(
-                jax.random.fold_in(data_key, step)
-            ):
-                if step >= cfg.max_steps:
-                    break
-                batch = shard_batch(batch, self.mesh)
-                state, metrics = self._train_step(state, batch, train_key)
-                step += 1
-                window_losses.append(metrics["loss"])
+        rng_host = np.random.default_rng(cfg.seed + 1)
 
-                if step % cfg.log_every_n_steps == 0:
-                    losses = [float(l) for l in window_losses]
-                    window_losses = []
-                    lr = float(make_lr_schedule(cfg)(step))
-                    rate = cfg.log_every_n_steps / max(
-                        1e-9, time.time() - t_start
-                    )
-                    t_start = time.time()
-                    self._log(
-                        {
-                            "train/loss": float(np.mean(losses)),
-                            "train/lr": lr,
-                            "train/steps_per_sec": rate,
-                        },
-                        step,
-                    )
+        def log_window(mean_loss: float, n_steps: int):
+            nonlocal t_start
+            lr = float(make_lr_schedule(cfg)(step))
+            rate = n_steps / max(1e-9, time.time() - t_start)
+            t_start = time.time()
+            self._log(
+                {
+                    "train/loss": mean_loss,
+                    "train/lr": lr,
+                    "train/steps_per_sec": rate,
+                },
+                step,
+            )
 
+        def run_val():
+            val_loss = self.evaluate(
+                state["params"],
+                datamodule.val_batches(),
+                eval_key,
+                log_audio_step=step,
+            )
+            self._log({"val/loss": val_loss}, step)
+            self.save_checkpoint(manager, state, val_loss)
+
+        if device_data is not None:
+            # Chunked fast path: gcd-sized chunks of steps run as ONE
+            # dispatch each (lax.scan inside jit); the host only builds
+            # index matrices and reads one (chunk,) loss array per chunk.
+            import math
+
+            n = len(train_ds)
+            index_pool: list = []
+
+            def take_indices(count: int) -> np.ndarray:
+                while len(index_pool) < count:
+                    perm = rng_host.permutation(n)
+                    usable = (n // bs) * bs
+                    index_pool.extend(perm[:usable].tolist())
+                out = np.asarray(index_pool[:count], np.int32)
+                del index_pool[:count]
+                return out
+
+            base_chunk = math.gcd(cfg.log_every_n_steps, cfg.val_every_n_steps)
+            while step < cfg.max_steps:
+                chunk = min(base_chunk, cfg.max_steps - step)
+                idx = take_indices(chunk * bs).reshape(chunk, bs)
+                batches = self._gather_chunk(device_data, jnp.asarray(idx))
+                state, losses = self._multi_step(state, batches, train_key)
+                step += chunk
+                if step % cfg.log_every_n_steps == 0 or step >= cfg.max_steps:
+                    log_window(float(np.asarray(losses).mean()), chunk)
                 if step % cfg.val_every_n_steps == 0 or step >= cfg.max_steps:
-                    val_loss = self.evaluate(
-                        state["params"],
-                        datamodule.val_batches(),
-                        eval_key,
-                        log_audio_step=step,
+                    run_val()
+        else:
+            # Generic path: iterator datamodules, one step per dispatch.
+            prev_loss_sum = float(np.asarray(state["loss_sum"]))
+            steps_at_prev = step
+            done = False
+            while not done and step < cfg.max_steps:
+                done = True
+                for batch in datamodule.train_batches(
+                    jax.random.fold_in(data_key, step)
+                ):
+                    done = False
+                    if step >= cfg.max_steps:
+                        break
+                    state, metrics = self._train_step(
+                        state, shard_batch(batch, self.mesh), train_key
                     )
-                    self._log({"val/loss": val_loss}, step)
-                    self.save_checkpoint(manager, state, val_loss)
+                    step += 1
+                    if step % cfg.log_every_n_steps == 0:
+                        loss_sum = float(np.asarray(state["loss_sum"]))
+                        window = max(1, step - steps_at_prev)
+                        mean = (loss_sum - prev_loss_sum) / window
+                        prev_loss_sum, steps_at_prev = loss_sum, step
+                        log_window(mean, window)
+                    if (
+                        step % cfg.val_every_n_steps == 0
+                        or step >= cfg.max_steps
+                    ):
+                        run_val()
 
         manager.wait_until_finished()
         return state

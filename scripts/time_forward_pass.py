@@ -30,8 +30,10 @@ import scipy.stats
 @click.option("--use-fast-newt", is_flag=True)
 @click.option("--async-pipeline", is_flag=True,
               help="queue all iterations, sync once (throughput mode)")
+@click.option("--profile-dir", default="",
+              help="write a jax.profiler trace of the timed loop here")
 def main(gin_file, checkpoint, batch_size, length_in_seconds, iterations,
-         use_fast_newt, async_pipeline):
+         use_fast_newt, async_pipeline, profile_dir):
     import jax
     import jax.numpy as jnp
 
@@ -79,11 +81,14 @@ def main(gin_file, checkpoint, batch_size, length_in_seconds, iterations,
               f"RTF {per/audio_seconds:.6f} ({audio_seconds/per:.0f}x realtime)")
         return
 
+    from neural_waveshaping_synthesis_tpu.utils import trace
+
     times = []
-    for k in keys:
-        t0 = time.perf_counter()
-        fwd(params, f0, control, k).block_until_ready()
-        times.append(time.perf_counter() - t0)
+    with trace(profile_dir or None):
+        for k in keys:
+            t0 = time.perf_counter()
+            fwd(params, f0, control, k).block_until_ready()
+            times.append(time.perf_counter() - t0)
     times = np.asarray(times)
 
     print(scipy.stats.describe(times))
