@@ -166,38 +166,20 @@ class TrainableNonlinearity:
     def apply(self, p: Params, x: jnp.ndarray) -> jnp.ndarray:
         """(B, T, C) -> (B, T, C), each channel through its own scalar MLP.
 
-        The 1->W and W->1 edge layers are broadcast multiplies (VPU).
-        The W->W mid layers are evaluated as ONE (B*T, C*W) x (C*W, C*W)
-        block-diagonal matmul on the MXU: the per-channel einsum
-        ``btcw,cwv->btcv`` is 16x fewer FLOPs on paper but runs entirely
-        on the vector unit and dominated the training step (71 ms of a
-        310 ms step at batch 8); the dense block-diagonal form trades
-        redundant zeros for systolic-array throughput.
+        Formulation notes (all measured on v5e, batch 8 x 4 s,
+        fwd+bwd via scan timing): this broadcast einsum runs on the VPU
+        and is sine-throughput-bound (~71 ms). A block-diagonal MXU
+        matmul variant measured 85 ms (the 16x redundant FLOPs cost more
+        than the MXU buys at these widths) and a fused Pallas kernel
+        58+ ms fwd alone (Mosaic's sin lowering is slower than XLA's) —
+        both rejected; see kernels/newt_fused.py for the kept option.
         """
         act = self._act(self.nonlinearity)
         final_act = self._act(self.final_nonlinearity)
-        c, w = self.channels, self.width
-        eye = jnp.eye(c, dtype=x.dtype)
 
         h = (x * p["input_scale"])[..., None]  # (B, T, C, 1)
         for i, layer in enumerate(p["layers"]):
-            w_in = layer["w"].shape[1]
-            w_out = layer["w"].shape[2]
-            if w_in == 1 or w_out == 1:
-                h = jnp.einsum("btcw,cwv->btcv", h, layer["w"]) + layer["b"]
-            else:
-                # block-diagonal (C*W, C*W) weight: W_bd[(c,w),(d,v)] =
-                # W[c,w,v] * I[c,d]
-                w_bd = jnp.einsum("cwv,cd->cwdv", layer["w"], eye).reshape(
-                    c * w_in, c * w_out
-                )
-                bt = h.shape[0] * h.shape[1]
-                h2 = jnp.dot(
-                    h.reshape(bt, c * w_in),
-                    w_bd,
-                    preferred_element_type=jnp.float32,
-                )
-                h = h2.reshape(h.shape[0], h.shape[1], c, w_out) + layer["b"]
+            h = jnp.einsum("btcw,cwv->btcv", h, layer["w"]) + layer["b"]
             h = act(h) if i < self.depth - 1 else final_act(h)
         return h[..., 0]
 

@@ -78,15 +78,34 @@ class NEWT:
         lookup_table: Optional[jnp.ndarray] = None,
         table_min: float = -3.0,
         table_max: float = 3.0,
+        fused: Optional[bool] = None,
     ) -> jnp.ndarray:
         """(B, Ta, C) exciter + (B, Tc, E) embedding -> (B, Ta, out_channels).
 
         If ``lookup_table`` (S, C) is given, the shaper bank is replaced by
         the FastNEWT interpolated table lookup.
+
+        ``fused`` selects the Pallas fused FiLM->shaper->FiLM kernel
+        (kernels/newt_fused.py). Default OFF: measured on v5e, the chain
+        is bound by VPU sine throughput, not HBM, and XLA's sin lowering
+        beats Mosaic's (fwd 31.8 ms XLA vs 57.9 ms fused at batch 8 x
+        4 s) — the kernel is kept as a verified-correct option and a
+        baseline for future Mosaic improvements.
         """
         fp = self.film_params(p, control_embedding)  # (B, Tc, 4C)
         fp = linear_upsample(fp, exciter.shape[1])  # (B, Ta, 4C)
         c = self.n_waveshapers
+
+        if fused is None:
+            fused = False
+        if fused and lookup_table is None:
+            from ..kernels import newt_fused
+
+            if newt_fused.supports(self.shaping_fn):
+                weights = newt_fused.pack_weights(p["shaping_fn"])
+                x = newt_fused.film_shaper_fused(exciter, fp, weights)
+                return dense_apply(p["mixer"], x)
+
         gamma_idx, beta_idx, gamma_norm, beta_norm = (
             fp[..., :c],
             fp[..., c : 2 * c],
