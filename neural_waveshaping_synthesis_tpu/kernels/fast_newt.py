@@ -10,6 +10,15 @@ This kernel keeps the whole table resident in VMEM and performs the
 per-channel interpolated lookup tile-by-tile with on-chip dynamic
 gathers, so the only HBM traffic is x in / y out.
 
+Backend support note (v5e, jax 0.9 Mosaic): the in-kernel gather only
+lowers when the index array has the operand's shape + (1,) — a per-lane
+shuffle — so the (S, C)-table / (T, C)-index form does NOT compile on
+TPU today (``has_pallas_support()`` probes and reports this). The
+kernel runs in interpret mode and stands ready for a Mosaic gather
+upgrade; on TPU the direct sine-MLP path remains the fast option
+anyway (the reference's table-beats-MLP premise inverts on this
+hardware).
+
 Lookup arithmetic matches the reference exactly (S-scaling quirk
 included): idx = S*(x-min)/(max-min); lower = clip(floor(idx), 0, S-1);
 upper = min(lower+1, S-1); y = lerp(table[lower], table[upper], idx-lower).

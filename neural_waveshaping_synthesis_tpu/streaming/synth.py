@@ -44,7 +44,10 @@ class StreamState(NamedTuple):
     prev_h_re: jnp.ndarray  # (B, n_bins) carried noise magnitude frame
     noise_prev: jnp.ndarray  # (B, n_fft - hop) carried raw noise samples
     noise_ola: jnp.ndarray  # (B, n_fft - hop) iSTFT overlap tail
-    reverb_fdl: jnp.ndarray  # (B, P, fft_bins) complex spectra ring
+    # complex spectra ring stored as an (..., 2) float pair: complex64
+    # at a jit boundary makes outputs unfetchable on tunneled TPU
+    # runtimes (axon); complex lives only INSIDE the compiled step
+    reverb_fdl: jnp.ndarray  # (B, P, fft_bins, 2) float re/im ring
     reverb_pos: jnp.ndarray  # () int32 ring position
     reverb_tail: jnp.ndarray  # (B, block) overlap-add tail
     key: jax.Array
@@ -99,19 +102,21 @@ class StreamingSynth:
             prev_h_re=jnp.zeros((batch, n_fft // 2 + 1)),
             noise_prev=jnp.zeros((batch, n_fft - hop)),
             noise_ola=jnp.zeros((batch, n_fft - hop)),
-            reverb_fdl=jnp.zeros((batch, n_part, fft_bins), jnp.complex64),
+            reverb_fdl=jnp.zeros((batch, n_part, fft_bins, 2), jnp.float32),
             reverb_pos=jnp.zeros((), jnp.int32),
             reverb_tail=jnp.zeros((batch, block)),
             key=k_state,
         )
 
     def ir_partition_spectra(self, params: Dict) -> jnp.ndarray:
-        """(P, fft_bins) rfft of zero-padded IR partitions (precompute once)."""
+        """(P, fft_bins, 2) float re/im of zero-padded IR partition rffts
+        (precompute once; float pair at the boundary — see StreamState)."""
         from ..ops.fir import partition_ir_spectra
 
-        return partition_ir_spectra(
+        spec = partition_ir_spectra(
             self.model.reverb.impulse_response(params["reverb"]), self.buffer_size
         )
+        return jnp.stack([spec.real, spec.imag], axis=-1)
 
     # -- step ----------------------------------------------------------------
     def step(
@@ -198,9 +203,12 @@ class StreamingSynth:
 
         if ir_spectra is None:
             ir_spectra = self.ir_partition_spectra(params)
-        wet, fdl, reverb_tail = partitioned_convolve_step(
-            dry, state.reverb_fdl, state.reverb_tail, ir_spectra
+        fdl_c = jax.lax.complex(state.reverb_fdl[..., 0], state.reverb_fdl[..., 1])
+        spectra_c = jax.lax.complex(ir_spectra[..., 0], ir_spectra[..., 1])
+        wet, fdl_c, reverb_tail = partitioned_convolve_step(
+            dry, fdl_c, state.reverb_tail, spectra_c
         )
+        fdl = jnp.stack([fdl_c.real, fdl_c.imag], axis=-1)
 
         audio = dry + wet
 

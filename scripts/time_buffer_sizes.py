@@ -67,6 +67,10 @@ def main(gin_file, checkpoint, iterations, warmup, use_fast_newt, streaming,
         f0 = jnp.asarray((220.0 + 220.0 * rng.random((1, frames))).astype(np.float32))
         control = jnp.asarray(rng.standard_normal((1, frames, 2)).astype(np.float32))
 
+        # Every timed iteration FETCHES the synthesized buffer to the
+        # host — a streaming client needs the samples, and on tunneled
+        # TPU runtimes block_until_ready returns before execution
+        # finishes, so only the fetch is an honest latency.
         if streaming:
             from neural_waveshaping_synthesis_tpu.streaming import StreamingSynth
 
@@ -76,24 +80,43 @@ def main(gin_file, checkpoint, iterations, warmup, use_fast_newt, streaming,
             state = synth.init_state(params, 1, jax.random.PRNGKey(0))
             for _ in range(warmup):
                 audio, state = step(params, state, f0, control, ir_spectra)
-            audio.block_until_ready()
+            np.asarray(audio)
             times = []
             for _ in range(iterations):
                 t0 = time.perf_counter()
                 audio, state = step(params, state, f0, control, ir_spectra)
-                audio.block_until_ready()
+                np.asarray(audio)
                 times.append(time.perf_counter() - t0)
+
+            # device-only step time: N steps inside one compiled scan
+            # (separates chip latency from the host round-trip, which on
+            # tunneled runtimes is a flat ~tens-of-ms floor)
+            n_scan = 50
+
+            @jax.jit
+            def scan_steps(p, s0, f, c, spec):
+                def body(s, _):
+                    a, s2 = synth.step(p, s, f, c, spec)
+                    return s2, a[0, 0]
+                s_final, outs = jax.lax.scan(body, s0, None, length=n_scan)
+                return outs.sum()
+
+            float(scan_steps(params, state, f0, control, ir_spectra))
+            t0 = time.perf_counter()
+            float(scan_steps(params, state, f0, control, ir_spectra))
+            dev_ms = (time.perf_counter() - t0) / n_scan * 1000
+            print(f"               device-only step: {dev_ms:7.3f} ms")
         else:
             fwd = jax.jit(
                 lambda p, f, c, k: model.apply(p, f, c, key=k, lookup_table=table)
             )
             for i in range(warmup):
                 out = fwd(params, f0, control, jax.random.PRNGKey(i))
-            out.block_until_ready()
+            np.asarray(out)
             times = []
             for i in range(iterations):
                 t0 = time.perf_counter()
-                fwd(params, f0, control, jax.random.PRNGKey(i)).block_until_ready()
+                np.asarray(fwd(params, f0, control, jax.random.PRNGKey(i)))
                 times.append(time.perf_counter() - t0)
 
         times = np.asarray(times)

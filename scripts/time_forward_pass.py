@@ -3,12 +3,14 @@
 mean RTF and 90th-percentile RTF where RTF = wall_seconds/audio_seconds
 — lower is better).
 
-Deviations from the reference (both flagged):
+Deviations from the reference (all flagged):
   * a warm-up pass excludes jit compilation (the reference times cold
     torch dispatch in iteration 0);
-  * each timed iteration synchronizes on the result (block_until_ready),
-    so this measures LATENCY; pass --async-pipeline to measure queued
-    throughput instead.
+  * each timed iteration FETCHES the audio to the host — on tunneled
+    TPU runtimes block_until_ready returns before execution finishes,
+    so only a data fetch gives an honest end-to-end latency;
+  * a separate device-only throughput figure runs N forwards inside one
+    compiled scan (no per-call host round-trips).
 """
 import os
 import sys
@@ -64,17 +66,41 @@ def main(gin_file, checkpoint, batch_size, length_in_seconds, iterations,
     table = model.newt.bake_lookup_table(params["newt"]) if use_fast_newt else None
     fwd = jax.jit(lambda p, f, c, k: model.apply(p, f, c, key=k, lookup_table=table))
 
-    fwd(params, f0, control, jax.random.PRNGKey(0)).block_until_ready()  # compile
+    import jax.numpy as jnp
+
+    np.asarray(fwd(params, f0, control, jax.random.PRNGKey(0)))  # compile
 
     keys = [jax.random.PRNGKey(i) for i in range(iterations)]
     audio_seconds = tc * model.control_hop / model.sample_rate
+
+    # device-only throughput: N forwards inside one compiled scan
+    base_key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def scan_run(p, f, c):
+        def body(acc, i):
+            out = model.apply(
+                p, f, c, key=jax.random.fold_in(base_key, i),
+                lookup_table=table,
+            )
+            return acc + out[0, 0], None
+        return jax.lax.scan(body, jnp.float32(0), jnp.arange(iterations))[0]
+
+    float(scan_run(params, f0, control))
+    t0 = time.perf_counter()
+    float(scan_run(params, f0, control))
+    dev = (time.perf_counter() - t0) / iterations
+    print(
+        f"Device-only: {dev*1000:.3f} ms/forward, RTF {dev/audio_seconds:.6f} "
+        f"({audio_seconds/dev:.0f}x realtime)"
+    )
 
     if async_pipeline:
         t0 = time.perf_counter()
         out = None
         for k in keys:
             out = fwd(params, f0, control, k)
-        out.block_until_ready()
+        np.asarray(out)  # fetch forces completion of the whole queue
         total = time.perf_counter() - t0
         per = total / iterations
         print(f"Throughput mode: {per*1000:.3f} ms/forward, "
@@ -87,13 +113,14 @@ def main(gin_file, checkpoint, batch_size, length_in_seconds, iterations,
     with trace(profile_dir or None):
         for k in keys:
             t0 = time.perf_counter()
-            fwd(params, f0, control, k).block_until_ready()
+            np.asarray(fwd(params, f0, control, k))  # host receives audio
             times.append(time.perf_counter() - t0)
     times = np.asarray(times)
 
     print(scipy.stats.describe(times))
     rtf = times / audio_seconds
-    print(f"Mean RTF: {rtf.mean():.6f} ({1.0/rtf.mean():.0f}x realtime)")
+    print(f"Mean host-round-trip RTF: {rtf.mean():.6f} "
+          f"({1.0/rtf.mean():.0f}x realtime)")
     print(f"90th percentile RTF: {np.percentile(rtf, 90):.6f}")
 
 
