@@ -24,6 +24,26 @@ Design stance (not a port):
 __version__ = "0.1.0"
 
 
+def _apply_platform_override() -> None:
+    """Honor NWS_TPU_PLATFORM=cpu|tpu|axon: some environments pin
+    JAX_PLATFORMS at a level the env var can't override after plugin
+    registration, so CLIs/tests use this package-level hook instead."""
+    import os
+
+    platform = os.environ.get("NWS_TPU_PLATFORM")
+    if not platform:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    except Exception:  # pragma: no cover
+        pass
+
+
+_apply_platform_override()
+
+
 def _enable_compilation_cache() -> None:
     """Persist XLA compilations across processes (the remote TPU compile
     service in this environment takes seconds-to-minutes per program;

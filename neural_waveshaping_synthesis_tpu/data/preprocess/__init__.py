@@ -6,7 +6,11 @@ device); segmentation/filtering/normalization and split logic are
 host-side numpy, shard-format-identical to the reference so datasets
 interchange.
 """
-from .f0_extraction import extract_f0_with_crepe, extract_f0_with_yin
+from .f0_extraction import (
+    extract_f0_with_crepe,
+    extract_f0_with_pyin,
+    extract_f0_with_yin,
+)
 from .loudness_extraction import extract_perceptual_loudness, extract_rms
 from .mfcc_extraction import extract_mfcc
 from .preprocess_audio import (
@@ -26,6 +30,7 @@ from .upsampling import (
 
 __all__ = [
     "extract_f0_with_crepe",
+    "extract_f0_with_pyin",
     "extract_f0_with_yin",
     "extract_perceptual_loudness",
     "extract_rms",

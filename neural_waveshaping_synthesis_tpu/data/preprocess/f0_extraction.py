@@ -1,15 +1,17 @@
 """F0 extraction (reference ``data/utils/f0_extraction.py``).
 
-Two gin-selectable extractors with the same (f0, confidence) contract:
+Three gin-selectable extractors with the same (f0, confidence) contract:
 
   * ``extract_f0_with_crepe`` — the reference's primary path
     (torchcrepe full model, Viterbi, harmonicity). Runs the JAX CREPE
     port (models/crepe.py); needs a converted pretrained weight file
     (``weights_path`` gin-binding or $CREPE_WEIGHTS). On TPU, all of a
     file's windows batch through the CNN as one XLA program.
-  * ``extract_f0_with_yin`` — dependency-free fallback filling the role
-    of the reference's pYIN alternative (f0_extraction.py:60-92), fully
+  * ``extract_f0_with_yin`` — dependency-free default fallback, fully
     on-device.
+  * ``extract_f0_with_pyin`` — signature-compatible stand-in for the
+    reference's pYIN alternative (YIN under the hood; see its docstring
+    for the approximation notes).
 """
 import os
 from typing import Callable, Optional, Tuple
@@ -59,8 +61,9 @@ def _get_crepe(capacity: str, weights_path: Optional[str]):
                 "CREPE pretrained weights are required for "
                 "extract_f0_with_crepe. Provide a torchcrepe .pth via the "
                 "gin binding extract_f0_with_crepe.weights_path or the "
-                "CREPE_WEIGHTS env var, or select "
-                "@extract_f0_with_yin as preprocess_audio.f0_extractor."
+                "CREPE_WEIGHTS env var, or select @extract_f0_with_yin "
+                "(or @extract_f0_with_pyin) as "
+                "preprocess_audio.f0_extractor."
             )
         params = jax.tree_util.tree_map(jax.numpy.asarray, params)
         _CREPE_CACHE[key] = (model, params)
@@ -105,6 +108,48 @@ def extract_f0_with_crepe(
             original_length=audio.shape[-1],
         )
     return np.asarray(f0), np.asarray(confidence)
+
+
+@gin.configurable
+def extract_f0_with_pyin(
+    audio: np.ndarray,
+    sample_rate: float = 16000,
+    minimum_frequency: float = 65.0,
+    maximum_frequency: float = 2093.0,
+    frame_length: int = 1024,
+    hop_length: int = 128,
+    fill_na: Optional[float] = None,
+    threshold: float = 0.1,
+    voicing_threshold: float = 0.5,
+    interpolate_fn: Optional[Callable] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Config-name-compatible stand-in for the reference's pYIN
+    alternative (f0_extraction.py:60-92, unused by shipped configs):
+    plain YIN with pYIN's default frequency bounds and signature.
+
+    A full probabilistic pYIN (HMM over pitch candidates) is not
+    implemented: confidence is YIN periodicity rather than voicing
+    probability, and ``fill_na`` (when set) replaces f0 in frames whose
+    periodicity falls below ``voicing_threshold`` — pYIN's
+    unvoiced-frame fill, approximated.
+
+    Configure via ``extract_f0_with_pyin.*`` gin bindings; bindings on
+    ``extract_f0_with_yin.*`` do NOT apply here (every parameter is
+    forwarded explicitly).
+    """
+    f0, periodicity = extract_f0_with_yin(
+        audio,
+        sample_rate=sample_rate,
+        hop_length=hop_length,
+        frame_length=frame_length,
+        minimum_frequency=minimum_frequency,
+        maximum_frequency=maximum_frequency,
+        threshold=threshold,
+        interpolate_fn=interpolate_fn,
+    )
+    if fill_na is not None:
+        f0 = np.where(periodicity < voicing_threshold, fill_na, f0)
+    return f0, periodicity
 
 
 @gin.configurable

@@ -243,10 +243,6 @@ def _parse_value(text: str) -> Any:
         return f"__MINIGIN_{len(placeholders) - 1}__"
 
     substituted = _TOKEN_RE.sub(sub, text)
-
-    class _Transformer(ast.NodeTransformer):
-        pass
-
     node = ast.parse(substituted, mode="eval").body
 
     def build(n):

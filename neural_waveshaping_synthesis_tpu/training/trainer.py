@@ -429,6 +429,14 @@ class Trainer:
                 return out
 
             base_chunk = math.gcd(cfg.log_every_n_steps, cfg.val_every_n_steps)
+            # cap the scan length: very long chunks mean GB-scale
+            # pre-gathered batch buffers and have crashed the TPU worker;
+            # ~128 steps amortize host overhead to <3% already. Keep the
+            # cap a divisor so log/val boundaries still align.
+            if base_chunk > 128:
+                base_chunk = max(
+                    d for d in range(1, 129) if base_chunk % d == 0
+                )
             while step < cfg.max_steps:
                 chunk = min(base_chunk, cfg.max_steps - step)
                 idx = take_indices(chunk * bs).reshape(chunk, bs)

@@ -1,0 +1,77 @@
+"""CLI smoke tests: every script's flag surface + one real run each for
+the dataset builder and benchmark CLIs, forced onto the CPU platform
+via NWS_TPU_PLATFORM (subprocess-level; the conftest's in-process
+override doesn't reach subprocesses)."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPTS = os.path.join(REPO, "scripts")
+
+
+def run_cli(script, *args, timeout=600):
+    env = dict(os.environ, NWS_TPU_PLATFORM="cpu")
+    return subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, script), *args],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd=REPO,
+        env=env,
+    )
+
+
+@pytest.mark.parametrize(
+    "script",
+    [
+        "create_dataset.py",
+        "create_urmp_dataset.py",
+        "train.py",
+        "resynthesise_dataset.py",
+        "time_forward_pass.py",
+        "time_buffer_sizes.py",
+        "timbre_transfer.py",
+    ],
+)
+def test_cli_help(script):
+    r = run_cli(script, "--help", timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "--gin-file" in r.stdout
+
+
+def test_create_dataset_cli_end_to_end(tmp_path):
+    sr = 16000
+    t = np.arange(9 * sr) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    wavfile.write(wav_dir / "tone.wav", sr, (tone * 32767).astype(np.int16))
+    out = tmp_path / "out"
+    r = run_cli(
+        "create_dataset.py",
+        "--data-directory", str(wav_dir),
+        "--output-directory", str(out),
+        "--f0-extractor", "yin",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (out / "data_mean.npy").exists()
+    n = sum(
+        len(os.listdir(out / s / "audio")) for s in ("train", "val", "test")
+    )
+    assert n == 2  # 9 s, 4 s windows hopped 4 s
+
+
+def test_time_forward_pass_cli():
+    r = run_cli(
+        "time_forward_pass.py",
+        "--iterations", "3",
+        "--length-in-seconds", "1.0",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Device-only" in r.stdout
+    assert "x realtime" in r.stdout
