@@ -37,8 +37,9 @@ class GeneralDataset:
     def __init__(self, path: str, split: str = "train", load_to_memory: bool = True):
         self.path = path
         self.split = split
-        split_path = os.path.join(path, split)
-        audio_dir = os.path.join(split_path, "audio")
+        self.load_to_memory = load_to_memory
+        self._split_path = os.path.join(path, split)
+        audio_dir = os.path.join(self._split_path, "audio")
         self.names = sorted(
             f[len("audio_") : -len(".npy")]
             for f in os.listdir(audio_dir)
@@ -49,23 +50,37 @@ class GeneralDataset:
         )  # (C, 1)
         self.data_std = np.load(os.path.join(path, "data_std.npy")).astype(np.float32)
 
+        # load_to_memory=False (reference data/general.py:13) keeps shards
+        # on disk and loads per batch — for corpora that outgrow host RAM.
+        # The Trainer's on-device fast path only engages for in-memory
+        # datasets (it stages `self.audio`/`self.control` to HBM).
+        self.audio: Optional[np.ndarray] = None
+        self.control: Optional[np.ndarray] = None
+        if load_to_memory:
+            self.audio, self.control = self._load_indices(
+                np.arange(len(self.names))
+            )
+
+    def _load_indices(self, indices) -> "tuple[np.ndarray, np.ndarray]":
         audio_list, control_list = [], []
-        for name in self.names:
+        for i in indices:
+            name = self.names[i]
             audio_list.append(
-                np.load(os.path.join(split_path, "audio", f"audio_{name}.npy"))
+                np.load(os.path.join(self._split_path, "audio", f"audio_{name}.npy"))
             )
             control_list.append(
-                np.load(os.path.join(split_path, "control", f"control_{name}.npy"))
+                np.load(
+                    os.path.join(self._split_path, "control", f"control_{name}.npy")
+                )
             )
         if audio_list:
-            self.audio = np.stack(audio_list).astype(np.float32)  # (N, Ta)
+            audio = np.stack(audio_list).astype(np.float32)  # (N, Ta)
             # stored channel-first (C, Tc) -> channels-last (N, Tc, C)
-            self.control = np.stack(control_list).astype(np.float32).transpose(
-                0, 2, 1
-            )
+            control = np.stack(control_list).astype(np.float32).transpose(0, 2, 1)
         else:
-            self.audio = np.zeros((0, 0), np.float32)
-            self.control = np.zeros((0, 0, 0), np.float32)
+            audio = np.zeros((0, 0), np.float32)
+            control = np.zeros((0, 0, 0), np.float32)
+        return audio, control
 
     def __len__(self) -> int:
         return len(self.names)
@@ -75,10 +90,14 @@ class GeneralDataset:
         return control_tc * self.data_std.T + self.data_mean.T
 
     def __getitem__(self, idx: int) -> Dict:
-        control = self.control[idx]  # (Tc, C)
+        if self.load_to_memory:
+            audio, control = self.audio[idx], self.control[idx]
+        else:
+            a, ctl = self._load_indices([idx])
+            audio, control = a[0], ctl[0]
         denorm = self.denormalize(control)
         return {
-            "audio": self.audio[idx],
+            "audio": audio,
             "f0": denorm[:, 0],
             "amp": denorm[:, 1],
             "control": control,
@@ -86,10 +105,13 @@ class GeneralDataset:
         }
 
     def batch(self, indices: np.ndarray) -> Dict:
-        control = self.control[indices]  # (B, Tc, C)
+        if self.load_to_memory:
+            audio, control = self.audio[indices], self.control[indices]
+        else:
+            audio, control = self._load_indices(indices)
         denorm = self.denormalize(control)
         return {
-            "audio": self.audio[indices],
+            "audio": audio,
             "f0": denorm[:, :, 0],
             "control": control,
         }

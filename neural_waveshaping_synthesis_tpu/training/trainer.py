@@ -370,7 +370,11 @@ class Trainer:
         train_ds = None
         if hasattr(datamodule, "dataset"):
             train_ds = datamodule.dataset("train")
-            if len(train_ds) and batch_size:
+            if (
+                len(train_ds)
+                and batch_size
+                and getattr(train_ds, "control", None) is not None
+            ):
                 denorm = train_ds.denormalize(train_ds.control)
                 device_data = jax.device_put(
                     {

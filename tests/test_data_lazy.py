@@ -1,0 +1,41 @@
+"""Lazy (load_to_memory=False) dataset mode: identical batches to the
+in-memory mode, and the trainer falls back to the generic path."""
+import numpy as np
+import pytest
+
+import jax
+
+from neural_waveshaping_synthesis_tpu.data import GeneralDataModule, GeneralDataset
+
+from test_training import synthetic_dataset, tiny_model  # noqa: F401
+
+
+def test_lazy_matches_eager(synthetic_dataset):  # noqa: F811
+    eager = GeneralDataset(synthetic_dataset, "train", load_to_memory=True)
+    lazy = GeneralDataset(synthetic_dataset, "train", load_to_memory=False)
+    assert lazy.audio is None and lazy.control is None
+    assert len(lazy) == len(eager)
+
+    idx = np.array([3, 0, 5])
+    be, bl = eager.batch(idx), lazy.batch(idx)
+    for k in ("audio", "f0", "control"):
+        np.testing.assert_array_equal(be[k], bl[k])
+
+    ie, il = eager[2], lazy[2]
+    np.testing.assert_array_equal(ie["audio"], il["audio"])
+    assert ie["name"] == il["name"]
+
+
+def test_lazy_trains_via_generic_path(synthetic_dataset, tmp_path):  # noqa: F811
+    from neural_waveshaping_synthesis_tpu.training import TrainConfig, Trainer
+
+    cfg = TrainConfig(
+        max_steps=2,
+        val_every_n_steps=2,
+        log_every_n_steps=2,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    dm = GeneralDataModule(synthetic_dataset, batch_size=8, load_to_memory=False)
+    trainer = Trainer(tiny_model(), cfg)
+    state = trainer.fit(dm)
+    assert int(state["step"]) == 2
