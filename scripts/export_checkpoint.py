@@ -1,0 +1,45 @@
+"""Export a trained orbax checkpoint to the reference's PL .ckpt format
+(checkpoint interchange, the reverse of --from-torch-checkpoint):
+
+    python scripts/export_checkpoint.py --checkpoint checkpoints_tpu \
+        --output my_model.ckpt --stats-from /data/processed/vn
+"""
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import click
+
+
+@click.command()
+@click.option("--checkpoint", required=True, help="orbax checkpoint directory")
+@click.option("--output", required=True, help="output .ckpt path")
+@click.option("--stats-from", default="",
+              help="dataset dir whose data_mean/std.npy to copy next to the ckpt")
+def main(checkpoint, output, stats_from):
+    import jax
+    import orbax.checkpoint as ocp
+
+    from neural_waveshaping_synthesis_tpu.convert import save_reference_checkpoint
+
+    mngr = ocp.CheckpointManager(os.path.abspath(checkpoint))
+    step = mngr.latest_step()
+    if step is None:
+        raise click.ClickException(f"no checkpoints in {checkpoint}")
+    restored = mngr.restore(step)
+    save_reference_checkpoint(restored["params"], output, step=step)
+    print(f"[export] wrote {output} (step {step}, reference PL format)")
+
+    if stats_from:
+        out_dir = os.path.dirname(os.path.abspath(output))
+        for stats in ("data_mean.npy", "data_std.npy"):
+            src = os.path.join(stats_from, stats)
+            if os.path.exists(src):
+                shutil.copy(src, os.path.join(out_dir, stats))
+                print(f"[export] copied {stats}")
+
+
+if __name__ == "__main__":
+    main()

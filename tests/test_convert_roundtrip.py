@@ -1,0 +1,60 @@
+"""Checkpoint interchange round trip: reference .ckpt -> pytree ->
+reference state_dict -> pytree must be the identity, and a freshly
+trained pytree must export to the exact reference tensor naming."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from neural_waveshaping_synthesis_tpu.convert import (
+    convert_state_dict,
+    load_lightning_checkpoint,
+)
+from neural_waveshaping_synthesis_tpu.convert.to_torch import (
+    params_to_reference_state_dict,
+    save_reference_checkpoint,
+)
+from neural_waveshaping_synthesis_tpu.models import NeuralWaveshaping
+
+CKPT = "/root/reference/checkpoints/nws/vn/last.ckpt"
+needs_ckpt = pytest.mark.skipif(
+    not os.path.exists(CKPT), reason="reference checkpoint not available"
+)
+
+
+@needs_ckpt
+def test_roundtrip_identity():
+    ckpt = load_lightning_checkpoint(CKPT)
+    params = convert_state_dict(ckpt["state_dict"])
+    back = params_to_reference_state_dict(params)
+
+    ref_sd = ckpt["state_dict"]
+    assert set(back.keys()) == set(ref_sd.keys())
+    for k in ref_sd:
+        if k == "noise_synth.window":
+            # recomputed buffer: float rounding vs torch's stored hann
+            np.testing.assert_allclose(
+                back[k], np.asarray(ref_sd[k]), atol=1e-6, err_msg=k
+            )
+        else:
+            np.testing.assert_array_equal(
+                back[k], np.asarray(ref_sd[k]), err_msg=k
+            )
+
+
+def test_fresh_params_export_and_reimport(tmp_path):
+    model = NeuralWaveshaping()
+    params = model.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "exported.ckpt")
+    save_reference_checkpoint(params, path, step=123)
+
+    reloaded = load_lightning_checkpoint(path)
+    assert reloaded["global_step"] == 123
+    assert len(reloaded["state_dict"]) == 52
+    params2 = convert_state_dict(reloaded["state_dict"])
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
