@@ -102,10 +102,44 @@ def main(
         initial_params = jax.tree_util.tree_map(jnp.asarray, initial_params)
 
     trainer = Trainer(model, cfg, mesh=mesh, loggers=loggers)
-    state = trainer.fit(
-        data, restore=restore_checkpoint, initial_params=initial_params
-    )
+    try:
+        state = trainer.fit(
+            data, restore=restore_checkpoint, initial_params=initial_params
+        )
+    except Exception as e:  # noqa: BLE001
+        if _is_recoverable_device_failure(e):
+            _restart_after_device_failure(e)
+        raise
     print(f"[train] finished at step {int(state['step'])}")
+
+
+def _is_recoverable_device_failure(e: Exception) -> bool:
+    """TPU worker crashes surface as UNAVAILABLE JaxRuntimeErrors; the
+    worker self-recovers in ~a minute but the in-process client is dead,
+    so recovery means restarting the process from the last checkpoint."""
+    return "UNAVAILABLE" in str(e) or "worker process crashed" in str(e)
+
+
+def _restart_after_device_failure(e: Exception) -> None:
+    import sys as _sys
+    import time as _time
+
+    restarts = int(os.environ.get("NWS_TPU_RESTARTS", "0"))
+    max_restarts = int(os.environ.get("NWS_TPU_MAX_RESTARTS", "3"))
+    if restarts >= max_restarts:
+        print(f"[train] device failed {restarts}x; giving up: {e}")
+        return
+    delay = float(os.environ.get("NWS_TPU_RESTART_DELAY", "75"))
+    print(
+        f"[train] TPU worker failure ({e}); restarting from the latest "
+        f"checkpoint in ~{delay:.0f} s (attempt {restarts + 1}/{max_restarts})"
+    )
+    _time.sleep(delay)
+    os.environ["NWS_TPU_RESTARTS"] = str(restarts + 1)
+    argv = [a for a in _sys.argv]
+    if "--restore-checkpoint" not in argv:
+        argv.append("--restore-checkpoint")
+    os.execv(_sys.executable, [_sys.executable] + argv)
 
 
 if __name__ == "__main__":

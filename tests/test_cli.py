@@ -66,6 +66,33 @@ def test_create_dataset_cli_end_to_end(tmp_path):
     assert n == 2  # 9 s, 4 s windows hopped 4 s
 
 
+def test_device_failure_recovery_predicate():
+    sys.path.insert(0, SCRIPTS)
+    try:
+        from train import _is_recoverable_device_failure
+    finally:
+        sys.path.remove(SCRIPTS)
+
+    assert _is_recoverable_device_failure(
+        RuntimeError("UNAVAILABLE: TPU worker process crashed or restarted.")
+    )
+    assert not _is_recoverable_device_failure(ValueError("shape mismatch"))
+
+
+def test_device_failure_restart_gives_up_at_limit(monkeypatch, capsys):
+    sys.path.insert(0, SCRIPTS)
+    try:
+        from train import _restart_after_device_failure
+    finally:
+        sys.path.remove(SCRIPTS)
+
+    monkeypatch.setenv("NWS_TPU_RESTARTS", "3")
+    monkeypatch.setenv("NWS_TPU_MAX_RESTARTS", "3")
+    # must NOT execv at the limit
+    _restart_after_device_failure(RuntimeError("UNAVAILABLE"))
+    assert "giving up" in capsys.readouterr().out
+
+
 def test_time_forward_pass_cli():
     r = run_cli(
         "time_forward_pass.py",
