@@ -48,7 +48,6 @@ class StreamState(NamedTuple):
     # at a jit boundary makes outputs unfetchable on tunneled TPU
     # runtimes (axon); complex lives only INSIDE the compiled step
     reverb_fdl: jnp.ndarray  # (B, P, fft_bins, 2) float re/im ring
-    reverb_pos: jnp.ndarray  # () int32 ring position
     reverb_tail: jnp.ndarray  # (B, block) overlap-add tail
     key: jax.Array
 
@@ -103,7 +102,6 @@ class StreamingSynth:
             noise_prev=jnp.zeros((batch, n_fft - hop)),
             noise_ola=jnp.zeros((batch, n_fft - hop)),
             reverb_fdl=jnp.zeros((batch, n_part, fft_bins, 2), jnp.float32),
-            reverb_pos=jnp.zeros((), jnp.int32),
             reverb_tail=jnp.zeros((batch, block)),
             key=k_state,
         )
@@ -224,7 +222,6 @@ class StreamingSynth:
             noise_prev=noise_sig[:, k * hop :],
             noise_ola=noise_ola,
             reverb_fdl=fdl,
-            reverb_pos=state.reverb_pos,
             reverb_tail=reverb_tail,
             key=key,
         )

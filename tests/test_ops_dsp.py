@@ -171,3 +171,36 @@ def test_yin_low_periodicity_on_noise(rng):
     x = rng.standard_normal(16000).astype(np.float32)
     _, conf = yin_f0(jnp.asarray(x), 16000)
     assert np.asarray(conf).mean() < 0.7
+
+
+def test_cubic_upsample_interpolates_smoothly():
+    from neural_waveshaping_synthesis_tpu.ops import cubic_upsample
+
+    x = jnp.asarray(np.sin(np.linspace(0, 3, 40)).astype(np.float32))[None, :, None]
+    up = np.asarray(cubic_upsample(x, 400))[0, :, 0]
+    assert up.shape == (400,)
+    # align_corners=False source positions: pos = (s+0.5)*in/out - 0.5
+    pos = np.clip((np.arange(400) + 0.5) * 40 / 400 - 0.5, 0, 39)
+    expected = np.sin(pos * 3 / 39)
+    # Catmull-Rom through sparse sine samples tracks the true sine
+    assert np.abs(up[20:-20] - expected[20:-20]).max() < 0.01
+
+
+def test_ops_overlap_add_upsample_constant():
+    from neural_waveshaping_synthesis_tpu.ops import overlap_add_upsample
+
+    x = jnp.ones((1, 16, 1))
+    out = np.asarray(overlap_add_upsample(x, window_size=64, hop_length=32))
+    assert out.shape == (1, 16 * 32, 1)
+    # interior of a constant signal OLA'd with 50%-overlap hann sums to ~1
+    interior = out[0, 100:-100, 0]
+    np.testing.assert_allclose(interior, interior.mean(), rtol=0.05)
+
+
+def test_a_weighting_reference_values():
+    from neural_waveshaping_synthesis_tpu.ops import a_weighting
+
+    # IEC 61672 anchor points: 0 dB at 1 kHz, about -19.1 dB at 100 Hz
+    w = np.asarray(a_weighting(jnp.asarray([1000.0, 100.0])))
+    assert abs(w[0]) < 0.2
+    assert abs(w[1] + 19.1) < 0.5
