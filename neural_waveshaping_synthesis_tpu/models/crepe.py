@@ -192,11 +192,14 @@ def viterbi_decode(probs: jnp.ndarray, window: int = 12) -> jnp.ndarray:
     last = jnp.argmax(delta_final)
 
     def backward(state, ptr):
+        # ptr[j] = best predecessor of state j at the NEXT step, so the
+        # emitted value must be the PREDECESSOR (state at this step) —
+        # emitting `state` here shifts the whole path by one frame.
         prev = ptr[state]
-        return prev, state
+        return prev, prev
 
-    _, path_rev = jax.lax.scan(backward, last, ptrs, reverse=True)
-    return jnp.concatenate([path_rev, jnp.array([last])])
+    _, path_head = jax.lax.scan(backward, last, ptrs, reverse=True)
+    return jnp.concatenate([path_head, jnp.array([last])])
 
 
 def argmax_decode(probs: jnp.ndarray) -> jnp.ndarray:

@@ -124,6 +124,34 @@ def test_viterbi_follows_ridge(rng):
     assert argmax_err > viterbi_err  # argmax chased the outliers
 
 
+def test_viterbi_matches_bruteforce_dp(rng):
+    """The lax.scan Viterbi with backtrace must equal an independent
+    numpy dynamic program on random posteriorgrams."""
+    t, n = 40, 360
+    probs = rng.random((t, n)).astype(np.float32)
+    path = np.asarray(crepe.viterbi_decode(jnp.asarray(probs)))
+
+    # brute-force DP with the same transition construction
+    diff = np.abs(np.arange(n)[:, None] - np.arange(n)[None, :]).astype(np.float64)
+    trans = np.maximum(12 - diff, 0.0)
+    log_trans = np.log(trans / trans.sum(1, keepdims=True) + 1e-20)
+    obs = probs / np.maximum(probs.sum(-1, keepdims=True), 1e-12)
+    log_obs = np.log(obs + 1e-20)
+
+    delta = log_obs[0] - np.log(n)
+    ptrs = np.zeros((t - 1, n), np.int64)
+    for i in range(1, t):
+        scores = delta[:, None] + log_trans
+        ptrs[i - 1] = scores.argmax(0)
+        delta = scores.max(0) + log_obs[i]
+    ref = np.zeros(t, np.int64)
+    ref[-1] = delta.argmax()
+    for i in range(t - 2, -1, -1):
+        ref[i] = ptrs[i, ref[i + 1]]
+
+    np.testing.assert_array_equal(path, ref)
+
+
 def test_local_average_cents_single_peak():
     probs = np.zeros((1, 360), np.float32)
     probs[0, 150] = 1.0
