@@ -115,3 +115,114 @@ def yin_f0(
     f0 = sample_rate / tau_refined
     periodicity = jnp.clip(1.0 - y1, 0.0, 1.0)
     return f0, periodicity
+
+
+def pyin_f0(
+    audio: jnp.ndarray,
+    sample_rate: float = 16000.0,
+    frame_length: int = 1024,
+    hop_length: int = 128,
+    fmin: float = 65.0,
+    fmax: float = 2000.0,
+    beta_a: float = 2.0,
+    beta_b: float = 18.0,
+    viterbi_window: int = 12,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Probabilistic YIN (Mauch & Dixon): per-frame pitch-candidate
+    distributions from the cumulative mean-normalized difference,
+    decoded with an HMM (Viterbi over 360 log-spaced 20-cent bins — the
+    CREPE pitch grid).
+
+    Observation model: YIN's absolute-threshold rule picks the FIRST
+    lag whose d' dips below a threshold theta; pYIN marginalizes over a
+    Beta(a, b) prior on theta. A candidate at lag L is the first dip
+    below theta exactly when d'(L) < theta <= (running min of d' over
+    smaller lags), so its probability mass is
+    CDF(prefix_min) - CDF(d') — computed for every bin with one
+    cumulative-min over ascending lag. This keeps YIN's
+    prefer-the-shortest-lag behavior (no subharmonic collapse) while
+    the HMM's band-limited transition prior removes frame-wise octave
+    hops on noisy/transient frames.
+
+    Audio is 1-D (per-file preprocessing). Returns (f0, periodicity)
+    at 1 + T//hop frames, like ``yin_f0``.
+    """
+    import numpy as _np
+    from jax.scipy.special import betainc
+
+    from ..models.crepe import (
+        N_BINS,
+        bins_to_cents,
+        cents_to_frequency,
+        viterbi_decode,
+    )
+
+    pad = [(0, 0)] * (audio.ndim - 1) + [(frame_length // 2, frame_length // 2)]
+    padded = jnp.pad(audio, pad, mode="reflect")
+    frames = frame_signal(padded, frame_length, hop_length)  # (F, W)
+
+    tau_min = max(int(sample_rate / fmax), 2)
+    tau_max = min(int(sample_rate / fmin) + 1, frame_length - 2)
+    d = _difference_function(frames, tau_max + 2)
+    cm = _cmndf(d)  # (F, tau_max+2)
+
+    # candidates = LOCAL MINIMA of d' over integer lags (pYIN's trough
+    # set); everything else gets +inf so it neither takes mass nor
+    # perturbs the running minimum.
+    lags = jnp.arange(tau_min, tau_max + 1)
+    center = cm[:, tau_min : tau_max + 1]
+    left = cm[:, tau_min - 1 : tau_max]
+    right = cm[:, tau_min + 1 : tau_max + 2]
+    is_trough = (center <= left) & (center < right)
+    cand = jnp.where(is_trough, center, jnp.inf)
+
+    # threshold-sweep mass over troughs, ascending lag: a trough is
+    # YIN's pick exactly when d' < theta <= (min over earlier troughs),
+    # so its Beta(a,b)-prior mass is CDF(prefix_min) - CDF(d').
+    prefix_min = jnp.concatenate(
+        [jnp.full_like(cand[:, :1], jnp.inf),
+         jax.lax.cummin(cand, axis=1)[:, :-1]],
+        axis=1,
+    )
+    cdf = lambda x: betainc(beta_a, beta_b, jnp.clip(x, 0.0, 1.0))
+    mass = jnp.maximum(cdf(prefix_min) - cdf(cand), 0.0)  # (F, n_lags)
+
+    # map integer lags onto the 20-cent bin grid with a static one-hot
+    # matmul (static lags -> host-built matrix; no runtime scatter).
+    lag_freqs = sample_rate / _np.arange(tau_min, tau_max + 1)
+    lag_bins = _np.clip(
+        _np.round(
+            (1200.0 * _np.log2(lag_freqs / 10.0) - 1997.3794084376191) / 20.0
+        ).astype(_np.int64),
+        0,
+        N_BINS - 1,
+    )
+    onehot = _np.zeros((lag_bins.shape[0], N_BINS), _np.float32)
+    onehot[_np.arange(lag_bins.shape[0]), lag_bins] = 1.0
+    probs = jnp.dot(mass, jnp.asarray(onehot), preferred_element_type=jnp.float32)
+
+    bins = viterbi_decode(probs, window=viterbi_window)
+
+    # refine to sub-bin precision: parabolic interpolation of d' around
+    # the integer lag nearest the decoded bin.
+    bin_lag = jnp.clip(
+        jnp.round(
+            sample_rate / cents_to_frequency(bins_to_cents(bins.astype(jnp.float32)))
+        ).astype(jnp.int32),
+        tau_min,
+        tau_max,
+    )
+    y0 = jnp.take_along_axis(cm, (bin_lag - 1)[:, None], axis=-1)[:, 0]
+    y1 = jnp.take_along_axis(cm, bin_lag[:, None], axis=-1)[:, 0]
+    y2 = jnp.take_along_axis(cm, (bin_lag + 1)[:, None], axis=-1)[:, 0]
+    denom = y0 - 2.0 * y1 + y2
+    delta = jnp.where(
+        jnp.abs(denom) > 1e-12,
+        0.5 * (y0 - y2) / jnp.where(denom == 0, 1.0, denom),
+        0.0,
+    )
+    delta = jnp.clip(delta, -0.5, 0.5)
+    f0 = sample_rate / (bin_lag.astype(jnp.float32) + delta)
+
+    periodicity = jnp.clip(1.0 - y1, 0.0, 1.0)
+    return f0, periodicity

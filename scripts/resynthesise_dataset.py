@@ -72,15 +72,26 @@ def main(gin_file, dataset_path, instrument, split, checkpoint, output_path,
         lambda p, f, c, k: model.apply(p, f, c, key=k, lookup_table=table)
     )
 
+    from neural_waveshaping_synthesis_tpu.training import (
+        multi_resolution_stft_loss,
+    )
+
+    loss_fn = jax.jit(multi_resolution_stft_loss)
+
     sr = int(model.sample_rate)
     key = jax.random.PRNGKey(seed)
     n = len(dataset)
+    distances = []
     for start in range(0, n, batch_size):
         idx = np.arange(start, min(start + batch_size, n))
         batch = dataset.batch(idx)
         key, sub = jax.random.split(key)
-        recon = np.asarray(
-            fwd(params, jnp.asarray(batch["f0"]), jnp.asarray(batch["control"]), sub)
+        recon_dev = fwd(
+            params, jnp.asarray(batch["f0"]), jnp.asarray(batch["control"]), sub
+        )
+        recon = np.asarray(recon_dev)
+        distances.append(
+            float(loss_fn(recon_dev, jnp.asarray(batch["audio"])))
         )
         for row, i in enumerate(idx):
             name = dataset.names[i]
@@ -89,6 +100,13 @@ def main(gin_file, dataset_path, instrument, split, checkpoint, output_path,
             write_wav(os.path.join(output_path, f"{name}.output.wav"),
                       recon[row], sr)
         print(f"[resynthesise] {min(start + batch_size, n)}/{n}")
+
+    # numeric eval (the reference offers only listening comparison):
+    # mean multi-resolution STFT distance between outputs and targets
+    print(
+        f"[resynthesise] mean multi-res STFT distance: "
+        f"{float(np.mean(distances)):.4f} over {n} clips"
+    )
 
 
 if __name__ == "__main__":

@@ -204,3 +204,40 @@ def test_a_weighting_reference_values():
     w = np.asarray(a_weighting(jnp.asarray([1000.0, 100.0])))
     assert abs(w[0]) < 0.2
     assert abs(w[1] + 19.1) < 0.5
+
+
+def test_pyin_hmm_resists_noise_bursts(rng):
+    """pYIN's trough-prior + HMM must stay on pitch through noise bursts
+    that derail plain YIN's frame-wise threshold rule."""
+    from neural_waveshaping_synthesis_tpu.ops.f0 import pyin_f0
+
+    sr = 16000
+    t = np.arange(3 * sr) / sr
+    x = 0.4 * np.sin(2 * np.pi * 330 * t).astype(np.float32)
+    for s in range(0, 3 * sr, 4000):
+        x[s:s + 400] += rng.standard_normal(400).astype(np.float32) * 0.6
+
+    f0_y, _ = yin_f0(jnp.asarray(x), sr)
+    f0_p, _ = pyin_f0(jnp.asarray(x), sr)
+    off = lambda f: np.mean(np.abs(np.asarray(f)[5:-5] - 330.0) > 20.0)
+    assert off(f0_p) < 0.10
+    assert off(f0_p) < off(f0_y) / 2  # at least 2x fewer bad frames
+
+
+def test_pyin_clean_sine_and_vibrato():
+    from neural_waveshaping_synthesis_tpu.ops.f0 import pyin_f0
+
+    sr = 16000
+    t = np.arange(3 * sr) / sr
+    xc = 0.4 * np.sin(2 * np.pi * 330 * t).astype(np.float32)
+    f0c, conf = pyin_f0(jnp.asarray(xc), sr)
+    assert abs(float(np.median(np.asarray(f0c)[5:-5])) - 330.0) < 1.0
+    assert float(np.median(np.asarray(conf))) > 0.95
+
+    fv = 440 * (1 + 0.03 * np.sin(2 * np.pi * 5 * t))
+    xv = 0.4 * np.sin(2 * np.pi * np.cumsum(fv) / sr).astype(np.float32)
+    f0v = np.asarray(pyin_f0(jnp.asarray(xv), sr)[0])
+    true = fv[::128]
+    n = min(len(f0v), len(true))
+    err = 1200 * np.abs(np.log2(f0v[10:n - 10] / true[10:n - 10]))
+    assert np.median(err) < 10.0  # within 10 cents through the vibrato
