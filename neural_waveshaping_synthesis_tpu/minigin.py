@@ -330,6 +330,14 @@ def _find_include(path: str, base_dir: str) -> str:
 
 
 def parse_config_file(path: str) -> None:
+    """Parse a .gin file. Relative paths resolve against the CWD first,
+    then the repo root — so CLIs work from any directory with the
+    shipped ``gin/...`` defaults."""
+    if not os.path.exists(path) and not os.path.isabs(path):
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        candidate = os.path.join(repo_root, path)
+        if os.path.exists(candidate):
+            path = candidate
     with open(path) as f:
         parse_config(f.read(), base_dir=os.path.dirname(os.path.abspath(path)))
 

@@ -166,13 +166,17 @@ class TrainableNonlinearity:
     def apply(self, p: Params, x: jnp.ndarray) -> jnp.ndarray:
         """(B, T, C) -> (B, T, C), each channel through its own scalar MLP.
 
-        Formulation notes (all measured on v5e, batch 8 x 4 s,
-        fwd+bwd via scan timing): this broadcast einsum runs on the VPU
-        and is sine-throughput-bound (~71 ms). A block-diagonal MXU
-        matmul variant measured 85 ms (the 16x redundant FLOPs cost more
-        than the MXU buys at these widths) and a fused Pallas kernel
-        58+ ms fwd alone (Mosaic's sin lowering is slower than XLA's) —
-        both rejected; see kernels/newt_fused.py for the kept option.
+        Formulation notes (all measured on v5e, batch 8 x 4 s, scan
+        timing): this broadcast einsum costs ~24 ms fwd / ~69 ms
+        fwd+bwd. The bottleneck is HBM materialization of the
+        (B*T, C, W) activations at each einsum boundary — NOT sine
+        compute (262M sines measure 1.2 ms, and chained sines fuse to
+        one pass). Rejected variants: block-diagonal MXU matmul (85 ms
+        — redundant FLOPs cost more than the MXU buys), a width-leading
+        wbtc einsum layout (no change — XLA normalizes layouts), and a
+        fused Pallas kernel (58 ms fwd — Mosaic's per-width unrolling
+        and sin lowering lose to XLA's fusion; kept as an option in
+        kernels/newt_fused.py).
         """
         act = self._act(self.nonlinearity)
         final_act = self._act(self.final_nonlinearity)

@@ -385,6 +385,11 @@ class Trainer:
                     replicated_sharding(self.mesh),
                 )
                 bs = min(batch_size, len(train_ds))
+                if bs < batch_size:
+                    print(
+                        f"[trainer] dataset has only {len(train_ds)} items; "
+                        f"clamping batch size {batch_size} -> {bs}"
+                    )
 
         step = int(state["step"])
         t_start = time.time()
