@@ -233,6 +233,11 @@ class Trainer:
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else create_mesh()
         self.loggers = loggers or []
+        # heartbeat for external hang watchdogs: TPU-worker crashes can
+        # HANG the blocked RPC instead of raising, so exceptions alone
+        # don't cover failure detection. Updated every completed chunk/
+        # step and at every phase boundary.
+        self.last_progress = time.time()
 
         rep = replicated_sharding(self.mesh)
         data = batch_sharding(self.mesh)
@@ -452,6 +457,7 @@ class Trainer:
                 batches = self._gather_chunk(device_data, jnp.asarray(idx))
                 state, losses = self._multi_step(state, batches, train_key)
                 step += chunk
+                self.last_progress = time.time()
                 if step % cfg.log_every_n_steps == 0 or step >= cfg.max_steps:
                     log_window(float(np.asarray(losses).mean()), chunk)
                 if step % cfg.val_every_n_steps == 0 or step >= cfg.max_steps:
@@ -473,6 +479,7 @@ class Trainer:
                         state, shard_batch(batch, self.mesh), train_key
                     )
                     step += 1
+                    self.last_progress = time.time()
                     if step % cfg.log_every_n_steps == 0:
                         loss_sum = float(np.asarray(state["loss_sum"]))
                         window = max(1, step - steps_at_prev)

@@ -1,7 +1,7 @@
 """Build per-instrument datasets from a URMP corpus
-(reference scripts/create_urmp_dataset.py:35-54): globs
-``**/*_<ins>_*/AuSep*_<ins>_*.wav`` for each of the 12 instrument codes
-and writes one dataset directory per instrument."""
+(reference scripts/create_urmp_dataset.py:35-54): finds each
+instrument's separated stems (``AuSep*_<ins>_*.wav``) and writes one
+dataset directory per instrument code."""
 import os
 import sys
 from pathlib import Path
@@ -19,12 +19,15 @@ from create_dataset import select_f0_extractor
 
 
 def get_instrument_file_list(instrument: str, directory: str):
-    return [
-        str(f)
-        for f in Path(directory).glob(
-            f"**/*_{instrument}_*/AuSep*_{instrument}_*.wav"
-        )
-    ]
+    """Per-instrument stem discovery by FILENAME only. The reference
+    additionally filters the directory name (``*_<ins>_*``), which
+    misses pieces whose folder name ENDS with the instrument code
+    (``01_Jupiter_vn_vc`` has no ``_vc_``); the AuSep filename already
+    identifies the instrument precisely, so the directory filter only
+    loses files."""
+    return sorted(
+        str(f) for f in Path(directory).glob(f"**/AuSep*_{instrument}_*.wav")
+    )
 
 
 @click.command()

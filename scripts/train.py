@@ -102,6 +102,7 @@ def main(
         initial_params = jax.tree_util.tree_map(jnp.asarray, initial_params)
 
     trainer = Trainer(model, cfg, mesh=mesh, loggers=loggers)
+    _start_hang_watchdog(trainer)
     try:
         state = trainer.fit(
             data, restore=restore_checkpoint, initial_params=initial_params
@@ -111,6 +112,39 @@ def main(
             _restart_after_device_failure(e)
         raise
     print(f"[train] finished at step {int(state['step'])}")
+
+
+def _start_hang_watchdog(trainer) -> None:
+    """TPU-worker crashes sometimes HANG the blocked RPC instead of
+    raising (observed: training frozen in futex_wait with the process
+    alive), so exception-based recovery never fires. This daemon thread
+    watches the trainer's progress heartbeat and restarts the process
+    from the latest checkpoint when it stalls.
+
+    The timeout must exceed the worst legitimate pause — cold remote
+    compiles here run several minutes — default 900 s, tunable via
+    NWS_TPU_HANG_TIMEOUT (0 disables)."""
+    import threading
+    import time as _time
+
+    timeout = float(os.environ.get("NWS_TPU_HANG_TIMEOUT", "900"))
+    if timeout <= 0:
+        return
+
+    def watch():
+        while True:
+            _time.sleep(min(60.0, timeout / 4))
+            stalled = _time.time() - trainer.last_progress
+            if stalled > timeout:
+                _restart_after_device_failure(
+                    RuntimeError(
+                        f"no training progress for {stalled:.0f}s "
+                        f"(hang watchdog, timeout {timeout:.0f}s)"
+                    )
+                )
+                os._exit(3)  # reached only if restarts are exhausted
+
+    threading.Thread(target=watch, daemon=True, name="hang-watchdog").start()
 
 
 def _is_recoverable_device_failure(e: Exception) -> bool:

@@ -102,3 +102,51 @@ def test_time_forward_pass_cli():
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Device-only" in r.stdout
     assert "x realtime" in r.stdout
+
+
+def test_urmp_file_glob(tmp_path):
+    """Per-instrument stem discovery must find stems in folders that END
+    with the instrument code (the reference's directory-name filter
+    misses those, e.g. vc inside 01_Jupiter_vn_vc)."""
+    sys.path.insert(0, SCRIPTS)
+    try:
+        from create_urmp_dataset import get_instrument_file_list
+    finally:
+        sys.path.remove(SCRIPTS)
+
+    piece = tmp_path / "01_Jupiter_vn_vc"
+    piece.mkdir()
+    (piece / "AuSep_1_vn_01_Jupiter.wav").write_bytes(b"")
+    (piece / "AuSep_2_vc_01_Jupiter.wav").write_bytes(b"")
+    (piece / "AuMix_01_Jupiter_vn_vc.wav").write_bytes(b"")
+
+    vn = get_instrument_file_list("vn", str(tmp_path))
+    vc = get_instrument_file_list("vc", str(tmp_path))
+    fl = get_instrument_file_list("fl", str(tmp_path))
+    assert len(vn) == 1 and vn[0].endswith("AuSep_1_vn_01_Jupiter.wav")
+    assert len(vc) == 1 and "AuSep_2_vc" in vc[0]
+    assert fl == []
+
+
+def test_hang_watchdog_fires(tmp_path):
+    """A stalled heartbeat must trigger the restart path (driven in a
+    subprocess with restarts exhausted so it prints give-up and exits)."""
+    script = tmp_path / "drive_watchdog.py"
+    script.write_text(
+        "import os, sys, time\n"
+        f"sys.path.insert(0, {REPO!r}); sys.path.insert(0, {SCRIPTS!r})\n"
+        "os.environ['NWS_TPU_PLATFORM'] = 'cpu'\n"
+        "os.environ['NWS_TPU_HANG_TIMEOUT'] = '2'\n"
+        "os.environ['NWS_TPU_RESTARTS'] = '3'\n"  # at limit: no execv
+        "from train import _start_hang_watchdog\n"
+        "class T: last_progress = time.time() - 100\n"
+        "_start_hang_watchdog(T())\n"
+        "time.sleep(8)\n"
+        "print('watchdog never fired')\n"
+    )
+    r = subprocess.run(
+        [sys.executable, str(script)], capture_output=True, text=True, timeout=120
+    )
+    assert "giving up" in r.stdout, (r.stdout, r.stderr)
+    assert r.returncode == 3
+    assert "watchdog never fired" not in r.stdout

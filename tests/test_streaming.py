@@ -111,3 +111,42 @@ def test_streaming_deterministic_given_key(streaming_setup, rng):
         a2, state = synth.step(params, state, f0, control)
         outs.append(np.concatenate([np.asarray(a1), np.asarray(a2)], -1))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_streaming_approximates_offline_render(streaming_setup, rng):
+    """A streamed render should spectrally match the offline graph on
+    steady-state content (semantics differ by a half-frame interpolation
+    shift, per-stream vs per-call phases, and linear vs circular reverb
+    — so the comparison is distributional, not sample-exact)."""
+    model, params, synth = streaming_setup
+    k_frames = synth.buffer_frames
+    n_buffers = 16
+    tc = k_frames * n_buffers
+    f0_val = 110.0
+    f0 = jnp.full((1, tc), f0_val)
+    control = jnp.zeros((1, tc, 2))
+
+    offline = np.asarray(
+        model.apply(params, f0, control, key=jax.random.PRNGKey(3))
+    )[0]
+
+    state = synth.init_state(params, 1, jax.random.PRNGKey(3))
+    state = state._replace(prev_f0=jnp.full((1,), f0_val))
+    chunks = []
+    step = jax.jit(synth.step)
+    for i in range(n_buffers):
+        sl = slice(i * k_frames, (i + 1) * k_frames)
+        audio, state = step(params, state, f0[:, sl], control[:, sl])
+        chunks.append(np.asarray(audio[0]))
+    streamed = np.concatenate(chunks)
+
+    assert streamed.shape == offline.shape
+    # compare magnitude spectra of the steady-state second half
+    half = len(streamed) // 2
+    so = np.abs(np.fft.rfft(offline[half:] * np.hanning(half)))
+    ss = np.abs(np.fft.rfft(streamed[half:] * np.hanning(half)))
+    so, ss = so / (so.sum() + 1e-12), ss / (ss.sum() + 1e-12)
+    overlap = np.sum(np.sqrt(so * ss))
+    assert overlap > 0.85, overlap
+    # comparable energy
+    assert 0.3 < streamed[half:].std() / (offline[half:].std() + 1e-12) < 3.0
