@@ -156,12 +156,14 @@ def timbre_transfer(
     f0_in = jnp.asarray(f0_pad[None])
     ctrl_in = jnp.asarray(ctrl_pad[None])
     key = jax.random.PRNGKey(seed)
-    fwd(params, f0_in, ctrl_in, key).block_until_ready()  # compile
+    np.asarray(fwd(params, f0_in, ctrl_in, key))  # compile + warm
 
+    # the timed window includes the host FETCH: block_until_ready alone
+    # returns before device execution completes on tunneled TPU runtimes
+    # (CLAUDE.md rule 1), which would inflate the reported speed
     t0 = time.perf_counter()
-    out = fwd(params, f0_in, ctrl_in, key)
-    out.block_until_ready()
+    out = np.asarray(fwd(params, f0_in, ctrl_in, key))
     wall = time.perf_counter() - t0
 
     audio_seconds = tc * model.control_hop / model.sample_rate
-    return np.asarray(out[0, : tc * model.control_hop]), audio_seconds / wall
+    return out[0, : tc * model.control_hop], audio_seconds / wall

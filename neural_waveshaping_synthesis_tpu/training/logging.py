@@ -47,17 +47,13 @@ class CSVLogger:
 
     def log_audio(self, name: str, audio: np.ndarray, sample_rate: int, step: int):
         """Write eval audio snapshots as wavs next to the metrics."""
-        from scipy.io import wavfile
+        from ..utils import write_wav
 
         audio_dir = os.path.join(os.path.dirname(self.path), "audio")
         os.makedirs(audio_dir, exist_ok=True)
-        peak = np.abs(audio).max()
-        scaled = (audio / peak * 0.9 * 32767).astype(np.int16) if peak > 0 else (
-            np.zeros_like(audio, dtype=np.int16)
-        )
         safe = name.replace("/", "_")
-        wavfile.write(
-            os.path.join(audio_dir, f"{safe}_step{step}.wav"), sample_rate, scaled
+        write_wav(
+            os.path.join(audio_dir, f"{safe}_step{step}.wav"), audio, sample_rate
         )
 
 

@@ -33,6 +33,18 @@ def make_dir_if_not_exists(path: str) -> None:
     os.makedirs(path, exist_ok=True)
 
 
+def write_wav(path: str, audio, sample_rate: int) -> None:
+    """Peak-normalize to 0.9 FS and write 16-bit PCM (shared by the
+    resynthesis/timbre-transfer CLIs and the CSV logger's snapshots)."""
+    import numpy as np
+    from scipy.io import wavfile
+
+    audio = np.asarray(audio)
+    peak = np.abs(audio).max()
+    scaled = audio / peak * 0.9 if peak > 0 else audio
+    wavfile.write(path, int(sample_rate), (scaled * 32767).astype(np.int16))
+
+
 def seed_all(seed: int):
     """Seed host-side RNGs and return a fresh JAX PRNG key.
 

@@ -45,9 +45,9 @@ def main(gin_file, data_directory, output_directory, seed, instruments,
         gin.parse_config_file(f)
     select_f0_extractor(f0_extractor)
     if crepe_weights:
-        gin.parse_config(
-            f"extract_f0_with_crepe.weights_path = '{crepe_weights}'"
-        )
+        # bind directly (string interpolation into gin syntax would break
+        # on paths containing quotes)
+        gin.bind_parameter("extract_f0_with_crepe.weights_path", crepe_weights)
 
     seed_all(seed)
 

@@ -14,22 +14,39 @@ import click
 
 
 @click.command()
+@click.option("--gin-file", multiple=True, default=("gin/models/newt.gin",),
+              help="model config the checkpoint was trained with — its "
+                   "hyperparameters are embedded in the exported .ckpt")
 @click.option("--checkpoint", required=True, help="orbax checkpoint directory")
 @click.option("--output", required=True, help="output .ckpt path")
 @click.option("--stats-from", default="",
               help="dataset dir whose data_mean/std.npy to copy next to the ckpt")
-def main(checkpoint, output, stats_from):
+def main(gin_file, checkpoint, output, stats_from):
     import jax
     import orbax.checkpoint as ocp
 
+    from neural_waveshaping_synthesis_tpu import minigin as gin
     from neural_waveshaping_synthesis_tpu.convert import save_reference_checkpoint
+    from neural_waveshaping_synthesis_tpu.models import NeuralWaveshaping
+
+    for f in gin_file:
+        gin.parse_config_file(f)
+    model = NeuralWaveshaping()
+    hparams = {
+        "n_waveshapers": model.n_waveshapers,
+        "control_hop": model.control_hop,
+        "sample_rate": model.sample_rate,
+        "learning_rate": 0.001,
+        "lr_decay": 0.9,
+        "lr_decay_interval": 10000,
+    }
 
     mngr = ocp.CheckpointManager(os.path.abspath(checkpoint))
     step = mngr.latest_step()
     if step is None:
         raise click.ClickException(f"no checkpoints in {checkpoint}")
     restored = mngr.restore(step)
-    save_reference_checkpoint(restored["params"], output, step=step)
+    save_reference_checkpoint(restored["params"], output, hparams=hparams, step=step)
     print(f"[export] wrote {output} (step {step}, reference PL format)")
 
     if stats_from:

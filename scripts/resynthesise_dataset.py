@@ -10,15 +10,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import click
 import numpy as np
-from scipy.io import wavfile
 
 from neural_waveshaping_synthesis_tpu import minigin as gin
-
-
-def write_wav(path: str, audio: np.ndarray, sample_rate: int):
-    peak = np.abs(audio).max()
-    scaled = audio / peak * 0.9 if peak > 0 else audio
-    wavfile.write(path, sample_rate, (scaled * 32767).astype(np.int16))
+from neural_waveshaping_synthesis_tpu.utils import write_wav
 
 
 @click.command()
@@ -81,19 +75,31 @@ def main(gin_file, dataset_path, instrument, split, checkpoint, output_path,
     sr = int(model.sample_rate)
     key = jax.random.PRNGKey(seed)
     n = len(dataset)
-    distances = []
+    per_clip = []
     for start in range(0, n, batch_size):
-        idx = np.arange(start, min(start + batch_size, n))
+        true_idx = np.arange(start, min(start + batch_size, n))
+        # pad the final short batch by repeating the last clip so every
+        # batch reuses the same compiled program (cold compiles cost
+        # minutes on this runtime); padded rows are dropped below
+        idx = np.concatenate(
+            [true_idx, np.full(batch_size - len(true_idx), true_idx[-1])]
+        )
         batch = dataset.batch(idx)
         key, sub = jax.random.split(key)
         recon_dev = fwd(
             params, jnp.asarray(batch["f0"]), jnp.asarray(batch["control"]), sub
         )
         recon = np.asarray(recon_dev)
-        distances.append(
-            float(loss_fn(recon_dev, jnp.asarray(batch["audio"])))
-        )
-        for row, i in enumerate(idx):
+        # per-clip distances (equal weight regardless of batch layout)
+        for row, i in enumerate(true_idx):
+            per_clip.append(
+                float(
+                    loss_fn(
+                        recon_dev[row : row + 1],
+                        jnp.asarray(batch["audio"][row : row + 1]),
+                    )
+                )
+            )
             name = dataset.names[i]
             write_wav(os.path.join(output_path, f"{name}.target.wav"),
                       batch["audio"][row], sr)
@@ -102,10 +108,10 @@ def main(gin_file, dataset_path, instrument, split, checkpoint, output_path,
         print(f"[resynthesise] {min(start + batch_size, n)}/{n}")
 
     # numeric eval (the reference offers only listening comparison):
-    # mean multi-resolution STFT distance between outputs and targets
+    # per-clip mean multi-resolution STFT distance
     print(
         f"[resynthesise] mean multi-res STFT distance: "
-        f"{float(np.mean(distances)):.4f} over {n} clips"
+        f"{float(np.mean(per_clip)):.4f} over {n} clips"
     )
 
 

@@ -12,9 +12,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import click
 import numpy as np
-from scipy.io import wavfile
 
 from neural_waveshaping_synthesis_tpu import minigin as gin
+from neural_waveshaping_synthesis_tpu.utils import write_wav
+from scipy.io import wavfile
 
 
 @click.command()
@@ -80,10 +81,7 @@ def main(gin_file, input_path, checkpoint, output_path, octave_shift,
         seed=seed,
     )
 
-    peak = np.abs(out).max()
-    scaled = out / peak * 0.9 if peak > 0 else out
-    wavfile.write(output_path, int(model.sample_rate),
-                  (scaled * 32767).astype(np.int16))
+    write_wav(output_path, out, model.sample_rate)
     audio_secs = len(out) / model.sample_rate
     print(f"Synthesized {audio_secs:.2f}s to {output_path} "
           f"({speed:.0f}x faster than real time)")

@@ -53,6 +53,13 @@ def main(gin_file, checkpoint, iterations, warmup, use_fast_newt, streaming,
     else:
         params = model.init(jax.random.PRNGKey(0))
 
+    if streaming and use_fast_newt:
+        raise click.ClickException(
+            "--use-fast-newt is not supported with --streaming (the "
+            "streaming step always evaluates the shaper bank directly, "
+            "which is also the faster path on TPU)"
+        )
+
     device = str(jax.devices()[0])
     mode = "streaming" if streaming else "stateless"
     model_name = f"newt_tpu_{mode}" + ("_fast" if use_fast_newt else "")
@@ -78,6 +85,8 @@ def main(gin_file, checkpoint, iterations, warmup, use_fast_newt, streaming,
             ir_spectra = synth.ir_partition_spectra(params)
             step = jax.jit(synth.step)
             state = synth.init_state(params, 1, jax.random.PRNGKey(0))
+            # one untimed call always runs (compile), regardless of --warmup
+            audio, state = step(params, state, f0, control, ir_spectra)
             for _ in range(warmup):
                 audio, state = step(params, state, f0, control, ir_spectra)
             np.asarray(audio)
@@ -110,6 +119,7 @@ def main(gin_file, checkpoint, iterations, warmup, use_fast_newt, streaming,
             fwd = jax.jit(
                 lambda p, f, c, k: model.apply(p, f, c, key=k, lookup_table=table)
             )
+            out = fwd(params, f0, control, jax.random.PRNGKey(0))  # compile
             for i in range(warmup):
                 out = fwd(params, f0, control, jax.random.PRNGKey(i))
             np.asarray(out)

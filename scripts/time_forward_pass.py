@@ -66,8 +66,6 @@ def main(gin_file, checkpoint, batch_size, length_in_seconds, iterations,
     table = model.newt.bake_lookup_table(params["newt"]) if use_fast_newt else None
     fwd = jax.jit(lambda p, f, c, k: model.apply(p, f, c, key=k, lookup_table=table))
 
-    import jax.numpy as jnp
-
     np.asarray(fwd(params, f0, control, jax.random.PRNGKey(0)))  # compile
 
     keys = [jax.random.PRNGKey(i) for i in range(iterations)]
