@@ -41,7 +41,12 @@ class StreamState(NamedTuple):
     phase_offset: jnp.ndarray  # (B, n_harmonics)
     prev_f0: jnp.ndarray  # (B,) carried f0 frame (Hz)
     prev_film: jnp.ndarray  # (B, 4C) carried FiLM params
-    prev_h_re: jnp.ndarray  # (B, n_bins) carried noise magnitude frame
+    # NOTE: the noise filter H is deliberately NOT carried/interpolated
+    # across buffers: the offline FIRNoiseSynth applies each control
+    # frame's filter piecewise to its own STFT frame (no cross-frame
+    # interpolation), and the hop-overlapped OLA already crossfades
+    # adjacent filtered frames — carrying H would add semantics the
+    # offline model doesn't have.
     noise_prev: jnp.ndarray  # (B, n_fft - hop) carried raw noise samples
     noise_ola: jnp.ndarray  # (B, n_fft - hop) iSTFT overlap tail
     # complex spectra ring stored as an (..., 2) float pair: complex64
@@ -98,7 +103,6 @@ class StreamingSynth:
             phase_offset=phase_offset,
             prev_f0=jnp.zeros((batch,)),
             prev_film=jnp.zeros((batch, 4 * m.n_waveshapers)),
-            prev_h_re=jnp.zeros((batch, n_fft // 2 + 1)),
             noise_prev=jnp.zeros((batch, n_fft - hop)),
             noise_ola=jnp.zeros((batch, n_fft - hop)),
             reverb_fdl=jnp.zeros((batch, n_part, fft_bins, 2), jnp.float32),
@@ -216,7 +220,6 @@ class StreamingSynth:
             phase_offset=state.phase_offset,
             prev_f0=f0[:, -1],
             prev_film=film[:, -1],
-            prev_h_re=h_re[:, -1],
             # last `overlap` samples == everything past the emitted span
             # (an explicit [-overlap:] breaks when overlap == 0)
             noise_prev=noise_sig[:, k * hop :],

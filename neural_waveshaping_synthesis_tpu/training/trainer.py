@@ -369,7 +369,11 @@ class Trainer:
                 print(f"[trainer] resumed from step {restored_step}")
 
         # Fast path: stage the whole training split on device once and
-        # gather batches inside the jitted step (see make_fused_train_step).
+        # gather batches inside the jitted step (see make_multi_train_step
+        # / make_batch_gather). Lazy datasets (load_to_memory=False) fall
+        # back to one host dispatch per step, which on this tunneled
+        # platform is ~20x slower (docs/DESIGN.md §2.3) — acceptable only
+        # when the corpus truly cannot fit in host+device memory.
         device_data = None
         batch_size = getattr(datamodule, "batch_size", None)
         train_ds = None

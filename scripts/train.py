@@ -40,8 +40,11 @@ def get_model(model=NeuralWaveshaping):
 @click.option("--device", default=None, type=int, help="Number of TPU devices for the data-parallel mesh (default: all)")
 @click.option("--instrument", default="vn")
 @click.option("--load-data-to-memory/--no-load-data-to-memory", default=True,
-              help="Lazy per-batch shard loading when off (large corpora); "
-                   "disables the on-device fast path")
+              help="Lazy per-batch shard loading when off (large corpora). "
+                   "WARNING: disables the on-device scan fast path; each "
+                   "step pays a host->device round-trip (~20x slower on "
+                   "tunneled TPUs). Keep on unless the corpus exceeds "
+                   "host memory.")
 @click.option("--with-wandb", is_flag=True)
 @click.option("--restore-checkpoint", is_flag=True, help="Resume from the latest checkpoint in TrainConfig.checkpoint_dir")
 @click.option("--checkpoint-dir", default=None, help="Override TrainConfig.checkpoint_dir")

@@ -40,3 +40,31 @@ def test_graft_entry_and_multichip_dryrun():
 
     assert jax.device_count() >= 8
     g.dryrun_multichip(8)  # asserts finite loss internally
+
+
+def test_multichip_dryrun_self_sufficient():
+    """Regression for round-1 driver failure: dryrun_multichip must work
+    from a process whose jax backend is ALREADY initialized with a
+    single device and whose env does NOT force a virtual device count —
+    exactly the driver's situation. The entry point must build its own
+    forced virtual mesh (it relaunches in a subprocess)."""
+    env = dict(os.environ)
+    env.pop("NWS_TPU_PLATFORM", None)
+    env["JAX_PLATFORMS"] = "cpu"  # avoid touching the real TPU in tests
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import jax\n"
+        "assert jax.device_count() == 1, jax.devices()  # hostile parent\n"
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(8)\n" % REPO
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=900, cwd=REPO, env=env,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-4000:])
+    assert "OK" in r.stdout
