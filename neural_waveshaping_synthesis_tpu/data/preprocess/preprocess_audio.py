@@ -1,20 +1,27 @@
-"""Per-file preprocessing: wav -> float32 mono 16 kHz -> features ->
-confidence-filtered 4 s segments.
+"""Per-file preprocessing: wav -> mono float32 16 kHz -> control
+features -> confidence-filtered segment stacks.
 
-Reference: ``data/utils/preprocess_audio.py:16-237``. Behavior parity:
-  * int wavs scale by the dtype max; stereo collapses by keep_left
-    (or keep_right / sum / diff);
-  * optional corpus-max normalization (two-pass);
-  * resampling to 16 kHz (ops/resample.py Kaiser-sinc XLA conv replaces
-    resampy);
-  * F0 + confidence, loudness, MFCC at the 125 Hz control rate;
-  * segmentation into windows of ``segment_length_in_seconds`` hopped by
-    ``hop_length_in_seconds`` (frames on the LAST axis, the reference's
-    librosa.util.frame orientation);
-  * drop segments whose mean confidence <= threshold.
+Behavioral contract with the reference preprocessor
+(``data/utils/preprocess_audio.py:16-237``), pinned by
+``tests/test_preprocess.py``:
+  * integer PCM scales to [-1, 1] by the dtype's positive max;
+  * stereo collapses by keep_left / keep_right / sum (mean) / diff;
+  * whichever 2-long axis exists is the channel axis, wider is an error;
+  * optional corpus-peak normalization is a separate first pass over
+    the raw (pre-resample) audio;
+  * f0+confidence, loudness and MFCC live on the 125 Hz control grid
+    (``target_sr / control_decimation_factor``);
+  * windows of ``segment_length_in_seconds`` hopped by
+    ``hop_length_in_seconds``; a segment survives iff its mean
+    confidence exceeds the threshold.
+
+TPU-first differences: the resampler is a jitted, length-bucketed
+Kaiser-sinc conv (``ops/resample.py``) instead of resampy; segmentation
+is strided index math instead of librosa.util.frame; per-file results
+are stacked ``(n_segments, ...)`` arrays rather than lists of views.
 """
 from functools import partial
-from typing import Callable, Optional, Sequence, Union
+from typing import Callable, Optional, Tuple
 
 import numpy as np
 from scipy.io import wavfile
@@ -25,43 +32,51 @@ from .loudness_extraction import extract_perceptual_loudness
 from .mfcc_extraction import extract_mfcc
 
 
-def read_audio_file(path: str):
-    sr, audio = wavfile.read(path)
-    return sr, audio
-
+# -- audio loading -----------------------------------------------------------
 
 def convert_to_float32_audio(audio: np.ndarray) -> np.ndarray:
-    if audio.dtype == np.float32:
-        return audio
-    if audio.dtype == np.float64:
-        return audio.astype(np.float32)
-    max_value = np.iinfo(audio.dtype).max
-    return (audio / max_value).astype(np.float32)
+    """PCM int -> [-1, 1] float32 by the dtype's positive max; float
+    input passes through (down-cast if f64)."""
+    if np.issubdtype(audio.dtype, np.floating):
+        return audio.astype(np.float32, copy=False)
+    return audio.astype(np.float32) / np.iinfo(audio.dtype).max
+
+
+_DOWNMIX = {
+    "keep_left": lambda ch: ch[0],
+    "keep_right": lambda ch: ch[1],
+    "sum": lambda ch: ch.mean(axis=0),
+    "diff": lambda ch: ch[0] - ch[1],
+}
 
 
 def make_monophonic(audio: np.ndarray, strategy: str = "keep_left") -> np.ndarray:
+    """Collapse mono/stereo audio in any orientation to a 1-D array."""
     if audio.ndim == 1:
         return audio
     if audio.ndim != 2:
-        raise ValueError("Unknown audio array format.")
-    if audio.shape[0] == 1:
-        return audio[0]
-    if audio.shape[1] == 1:
-        return audio[:, 0]
-    if audio.shape[0] != 2 and audio.shape[1] != 2:
-        raise ValueError("Expected stereo input audio but got too many channels.")
-    if audio.shape[1] == 2:
+        raise ValueError(f"audio must be 1-D or 2-D, got shape {audio.shape}")
+    if 1 in audio.shape:  # single channel stored 2-D, either orientation
+        return audio.reshape(-1)
+    if audio.shape[1] == 2:  # time-major stereo -> channel-major
         audio = audio.T
-    if strategy == "keep_left":
-        return audio[0]
-    if strategy == "keep_right":
-        return audio[1]
-    if strategy == "sum":
-        return np.mean(audio, axis=0)
-    if strategy == "diff":
-        return audio[0] - audio[1]
-    raise ValueError(f"unknown strategy {strategy!r}")
+    if audio.shape[0] != 2:
+        raise ValueError(
+            f"expected mono or stereo audio, got {min(audio.shape)} channels"
+        )
+    try:
+        return _DOWNMIX[strategy](audio)
+    except KeyError:
+        raise ValueError(f"unknown downmix strategy {strategy!r}") from None
 
+
+def load_mono_audio(path: str, strategy: str = "keep_left") -> Tuple[int, np.ndarray]:
+    """wav file -> (native sample rate, mono float32 signal)."""
+    sr, raw = wavfile.read(path)
+    return sr, make_monophonic(convert_to_float32_audio(raw), strategy)
+
+
+# -- resampling --------------------------------------------------------------
 
 _RESAMPLE_JIT = {}
 
@@ -95,6 +110,8 @@ def resample_audio(
     return out[..., :out_true]
 
 
+# -- segmentation ------------------------------------------------------------
+
 def segment_signal(
     signal: np.ndarray,
     sample_rate: float,
@@ -112,17 +129,17 @@ def segment_signal(
     return signal[..., idx]
 
 
-def filter_segments(
-    threshold: float, key_segments: np.ndarray, segments: Sequence[np.ndarray]
-):
+def filter_segments(threshold: float, key_segments: np.ndarray, segments):
     """Keep segments whose mean key (confidence) exceeds threshold.
 
-    key_segments: (seg_len, n); 2-D streams filter on axis 1, 3-D (mfcc)
-    on axis 2 — the reference's orientation (preprocess_audio.py:83-93).
+    key_segments: (seg_len, n); the segment axis is last, so 2-D streams
+    mask on axis 1 and 3-D (mfcc) on axis 2.
     """
     mask = key_segments.mean(axis=0) > threshold
-    return [x[:, mask] if x.ndim == 2 else x[:, :, mask] for x in segments]
+    return [x[..., mask] for x in segments]
 
+
+# -- per-file pipeline -------------------------------------------------------
 
 def preprocess_single_audio_file(
     file: str,
@@ -137,50 +154,53 @@ def preprocess_single_audio_file(
     normalisation_factor: Optional[float] = None,
     verbose: bool = True,
 ):
+    """One wav -> (audio, f0, confidence, loudness, mfcc) segment stacks.
+
+    Each return value is stacked on a LEADING segment axis: audio
+    (n, seg_samples), control streams (n, seg_frames), mfcc
+    (n, 16, seg_frames); n may be 0 when every window fails the
+    confidence filter.
+    """
     if verbose:
         print(f"[preprocess] {file}")
-    original_sr, audio = read_audio_file(file)
-    audio = make_monophonic(convert_to_float32_audio(audio))
+    sr, audio = load_mono_audio(file)
     if normalisation_factor:
         audio = audio / normalisation_factor
-    if original_sr != target_sr:
-        audio = resample_audio(audio, original_sr, target_sr)
+    if sr != target_sr:
+        audio = resample_audio(audio, sr, target_sr)
 
     f0, confidence = f0_extractor(audio)
-    loudness = loudness_extractor(audio)
-    mfcc = mfcc_extractor(audio)
-
     control_sr = target_sr / (control_decimation_factor or 1)
-    seg_audio = segment_signal(
-        audio, target_sr, segment_length_in_seconds, hop_length_in_seconds
-    )
-    seg_f0 = segment_signal(
-        f0, control_sr, segment_length_in_seconds, hop_length_in_seconds
-    )
-    seg_conf = segment_signal(
-        confidence, control_sr, segment_length_in_seconds, hop_length_in_seconds
-    )
-    seg_loud = segment_signal(
-        loudness, control_sr, segment_length_in_seconds, hop_length_in_seconds
-    )
-    seg_mfcc = segment_signal(
-        mfcc, control_sr, segment_length_in_seconds, hop_length_in_seconds
-    )
 
-    filtered = filter_segments(
-        confidence_threshold,
-        seg_conf,
-        (seg_audio, seg_f0, seg_conf, seg_loud, seg_mfcc),
+    # (signal, rate) in the output order of the 5-tuple
+    streams = (
+        (audio, target_sr),
+        (f0, control_sr),
+        (confidence, control_sr),
+        (loudness_extractor(audio), control_sr),
+        (mfcc_extractor(audio), control_sr),
     )
-    if filtered[0].shape[-1] == 0:
-        if verbose:
-            print("[preprocess]   no segments above confidence threshold")
-        return [], [], [], [], []
+    windows = [
+        segment_signal(x, rate, segment_length_in_seconds, hop_length_in_seconds)
+        for x, rate in streams
+    ]
+    conf_windows = windows[2]
+    keep = conf_windows.mean(axis=0) > confidence_threshold
+    if verbose and not keep.any():
+        print("[preprocess]   no segments above confidence threshold")
+    # trailing segment axis -> leading, filtered
+    return tuple(np.moveaxis(w[..., keep], -1, 0) for w in windows)
 
-    def split(x):
-        return [e.squeeze(-1) for e in np.split(x, x.shape[-1], -1)]
 
-    return tuple(split(x) for x in filtered)
+def _corpus_peak(files, verbose: bool) -> float:
+    """Max |sample| over the raw mono corpus (normalise_audio pass 1)."""
+    peak = 0.0
+    for file in files:
+        _, audio = load_mono_audio(file)
+        peak = max(peak, float(np.abs(audio).max()))
+    if verbose:
+        print(f"[preprocess] corpus peak over {len(files)} files: {peak:.4f}")
+    return peak
 
 
 @gin.configurable
@@ -196,31 +216,19 @@ def preprocess_audio(
     normalise_audio: bool = False,
     verbose: bool = True,
 ):
-    """Generator yielding per-file (audio, f0, confidence, loudness, mfcc)
-    segment lists. Pass 1 (optional) finds the corpus peak for
-    normalization (reference preprocess_audio.py:214-224)."""
-    normalisation_factor = None
-    if normalise_audio:
-        peak = 0.0
-        for file in files:
-            _, audio = read_audio_file(file)
-            audio = make_monophonic(convert_to_float32_audio(audio))
-            peak = max(peak, float(np.abs(audio).max()))
-        normalisation_factor = peak
-        if verbose:
-            print(f"[preprocess] corpus normalisation factor: {peak:.4f}")
-
-    processor = partial(
-        preprocess_single_audio_file,
-        control_decimation_factor=control_decimation_factor,
-        target_sr=target_sr,
-        segment_length_in_seconds=segment_length_in_seconds,
-        hop_length_in_seconds=hop_length_in_seconds,
-        confidence_threshold=confidence_threshold,
-        f0_extractor=f0_extractor,
-        loudness_extractor=loudness_extractor,
-        normalisation_factor=normalisation_factor,
-        verbose=verbose,
-    )
+    """Generator of per-file segment stacks (see
+    ``preprocess_single_audio_file`` for the per-item layout)."""
+    norm = _corpus_peak(files, verbose) if normalise_audio else None
     for file in files:
-        yield processor(file)
+        yield preprocess_single_audio_file(
+            file,
+            control_decimation_factor=control_decimation_factor,
+            target_sr=target_sr,
+            segment_length_in_seconds=segment_length_in_seconds,
+            hop_length_in_seconds=hop_length_in_seconds,
+            confidence_threshold=confidence_threshold,
+            f0_extractor=f0_extractor,
+            loudness_extractor=loudness_extractor,
+            normalisation_factor=norm,
+            verbose=verbose,
+        )

@@ -1,9 +1,16 @@
 """Frame-rate -> sample-rate interpolators (host-side, numpy).
 
-Parity with reference ``data/utils/upsampling.py:20-79``. The shipped
-configs set ``interpolation = None`` so these are dormant in the main
-path, but they remain gin-selectable as ``interpolate_fn`` for
-configurations that store sample-rate control signals.
+Numerical contract with reference ``data/utils/upsampling.py:20-79``
+(signatures and gin names are the config surface; the shipped configs
+set ``interpolation = None`` so these are dormant in the main path, but
+they remain gin-selectable as ``interpolate_fn`` for configurations
+that store sample-rate control signals):
+  * a frame grid of n values maps onto ``n*hop + window - hop`` padded
+    samples, with frame i centered at its analysis window;
+  * linear/cubic evaluate an interpolant of the frame values on that
+    grid, then crop ``window//2`` leading samples to ``original_length``;
+  * overlap-add turns each frame value into a windowed grain on the hop
+    grid and center-crops.
 """
 from typing import Optional
 
@@ -18,15 +25,22 @@ def get_padded_length(frames: int, window_length: int, hop_length: int) -> int:
     return frames * hop_length + window_length - hop_length
 
 
-def _axes(frames: int, window_length: int, hop_length: int):
-    padded = get_padded_length(frames, window_length, hop_length)
-    return np.linspace(0, frames - 1, frames), np.linspace(0, frames - 1, padded)
+def _evaluate_on_sample_grid(
+    signal: np.ndarray, window_length: int, hop_length: int, kind: str
+) -> np.ndarray:
+    """Evaluate an interpolant of the frame values on the dense grid."""
+    n = signal.size
+    frame_x = np.linspace(0, n - 1, n)
+    sample_x = np.linspace(0, n - 1, get_padded_length(n, window_length, hop_length))
+    if kind == "linear":
+        return np.interp(sample_x, frame_x, signal)
+    return scipy.interpolate.interp1d(frame_x, signal, kind=kind)(sample_x)
 
 
-def _crop(x: np.ndarray, window_length: int, original_length: Optional[int]):
-    if original_length:
-        x = x[window_length // 2 :][:original_length]
-    return x
+def _crop_aligned(
+    x: np.ndarray, lead: int, original_length: Optional[int]
+) -> np.ndarray:
+    return x[lead:][:original_length] if original_length else x
 
 
 @gin.configurable
@@ -36,8 +50,8 @@ def linear_interpolation(
     hop_length: int,
     original_length: Optional[int] = None,
 ) -> np.ndarray:
-    source_x, target_x = _axes(signal.size, window_length, hop_length)
-    return _crop(np.interp(target_x, source_x, signal), window_length, original_length)
+    dense = _evaluate_on_sample_grid(signal, window_length, hop_length, "linear")
+    return _crop_aligned(dense, window_length // 2, original_length)
 
 
 @gin.configurable
@@ -47,9 +61,8 @@ def cubic_spline_interpolation(
     hop_length: int,
     original_length: Optional[int] = None,
 ) -> np.ndarray:
-    source_x, target_x = _axes(signal.size, window_length, hop_length)
-    interpolant = scipy.interpolate.interp1d(source_x, signal, kind="cubic")
-    return _crop(interpolant(target_x), window_length, original_length)
+    dense = _evaluate_on_sample_grid(signal, window_length, hop_length, "cubic")
+    return _crop_aligned(dense, window_length // 2, original_length)
 
 
 @gin.configurable
@@ -61,13 +74,19 @@ def overlap_add_upsample(
     window_scale: int = 2,
     original_length: Optional[int] = None,
 ) -> np.ndarray:
-    """Windowed OLA upsampling: each frame value becomes a grain."""
+    """Windowed OLA upsampling, vectorized: grain k of frame i lands on
+    hop-block i+k, so the python loop runs over window_scale (tiny),
+    not over frames."""
     window = scipy.signal.windows.get_window(window_fn, hop_length * window_scale)
+    grains = signal[:, None] * window[None, :]  # (n, scale*hop)
+    parts = grains.reshape(signal.size, window_scale, hop_length)
+    blocks = np.zeros((signal.size + window_scale - 1, hop_length))
+    for k in range(window_scale):
+        blocks[k : k + signal.size] += parts[:, k]
+    ola = blocks.reshape(-1)
+
     padded_length = get_padded_length(signal.size, window_length, hop_length)
     out = np.zeros(padded_length)
-    for i, value in enumerate(signal):
-        start = i * hop_length
-        out[start : start + hop_length * window_scale] += window * value
-    if original_length:
-        out = out[(padded_length - original_length) // 2 :][:original_length]
-    return out
+    out[: min(ola.size, padded_length)] = ola[:padded_length]
+    lead = (padded_length - original_length) // 2 if original_length else 0
+    return _crop_aligned(out, lead, original_length)
