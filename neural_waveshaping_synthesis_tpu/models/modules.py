@@ -49,8 +49,15 @@ def dense_init(key, in_size: int, out_size: int) -> Params:
 
 
 def dense_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """(..., in) -> (..., out); the MXU workhorse."""
-    return jnp.dot(x, p["w"], preferred_element_type=jnp.float32) + p["b"]
+    """(..., in) -> (..., out); the MXU workhorse.
+
+    Mixed precision contract: the dot always accumulates in float32
+    (preferred_element_type); the OUTPUT follows the input dtype, so a
+    bfloat16 activation stream stays bfloat16 through dense layers
+    instead of being silently promoted (which would re-materialize
+    full-width activations and erase the HBM savings)."""
+    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32) + p["b"]
+    return y if x.dtype == jnp.float32 else y.astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -69,10 +76,13 @@ def layer_norm_init(size: int) -> Params:
 
 
 def layer_norm_apply(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    normed = (x - mean) * jax.lax.rsqrt(var + eps)
-    return normed * p["scale"] + p["bias"]
+    # statistics always in float32: bf16 mean/variance over the channel
+    # axis loses enough mantissa to visibly shift the normalization
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    normed = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (normed * p["scale"] + p["bias"]).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------

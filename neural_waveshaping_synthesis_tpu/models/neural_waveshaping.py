@@ -64,6 +64,14 @@ class NeuralWaveshaping:
     n_waveshapers: int = 64
     control_hop: int = 128
     sample_rate: float = 16000
+    # Mixed precision for the audio-rate hot path (harmonic-mixer matmul
+    # + the whole NEWT block: FiLM upsample, shaper bank, mixer) — the
+    # HBM-bound ~70% of the training step. "bfloat16" halves that
+    # traffic; phase accumulation, the noise/reverb FFT branches, and
+    # the loss stay float32 (phase integrates to thousands of radians —
+    # bf16 there is audible garbage). Master params and Adam state are
+    # always float32; casting happens inside apply().
+    compute_dtype: str = "float32"
     # submodule configs (reference wires these through gin scopes)
     embedding: ControlModule = field(default_factory=ControlModule)
     osc: HarmonicOscillator = field(default_factory=HarmonicOscillator)
@@ -100,6 +108,14 @@ class NeuralWaveshaping:
             phase_offset=phase_offset,
             initial_phase=initial_phase,
         )
+        cd = jnp.dtype(self.compute_dtype)
+        if cd != jnp.float32:
+            # bf16 bank halves the (B, Ta, 101) HBM read; the dot keeps
+            # a float32 accumulator (preferred_element_type) so the
+            # exciter itself comes back float32-valued.
+            mixer = {"w": p["harmonic_mixer"]["w"].astype(cd),
+                     "b": p["harmonic_mixer"]["b"]}
+            return dense_apply(mixer, bank.astype(cd))
         return dense_apply(p["harmonic_mixer"], bank)
 
     def get_embedding(
@@ -152,9 +168,17 @@ class NeuralWaveshaping:
         )
         embedding, _ = self.get_embedding(p, control)
 
-        shaped = self.newt.apply(
-            p["newt"], exciter, embedding, lookup_table=lookup_table
-        )  # (B, Ta, 1)
+        cd = jnp.dtype(self.compute_dtype)
+        if cd != jnp.float32:
+            newt_p = jax.tree_util.tree_map(lambda x: x.astype(cd), p["newt"])
+            shaped = self.newt.apply(
+                newt_p, exciter.astype(cd), embedding.astype(cd),
+                lookup_table=lookup_table,
+            ).astype(jnp.float32)
+        else:
+            shaped = self.newt.apply(
+                p["newt"], exciter, embedding, lookup_table=lookup_table
+            )  # (B, Ta, 1)
 
         h = self.noise_mlp.apply(p["h_generator"], embedding)  # (B, Tc, 129)
         noise_audio = self.noise_synth.apply(h, key=k_noise, noise=noise)

@@ -38,6 +38,10 @@ class NEWT:
     shaping_fn_size: int = 8
     out_channels: int = 1
     shaping_fn_depth: int = 4
+    # rematerialize the shaper bank in backward: trades recompute FLOPs
+    # for not storing the (B, Ta, C, W) inter-layer activations — the
+    # training step's dominant HBM traffic (models/modules.py apply()).
+    remat_shaper: bool = False
 
     @property
     def mlp(self) -> TimeDistributedMLP:
@@ -115,7 +119,10 @@ class NEWT:
 
         x = film(exciter, gamma_idx, beta_idx)
         if lookup_table is None:
-            x = self.shaping_fn.apply(p["shaping_fn"], x)
+            shaper = self.shaping_fn.apply
+            if self.remat_shaper:
+                shaper = jax.checkpoint(shaper)
+            x = shaper(p["shaping_fn"], x)
         else:
             x = fast_newt_lookup(lookup_table, x, table_min, table_max)
         x = film(x, gamma_norm, beta_norm)

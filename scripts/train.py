@@ -35,6 +35,10 @@ def get_model(model=NeuralWaveshaping):
 
 @click.command()
 @click.option("--gin-file", multiple=True, default=("gin/train/train_newt.gin",))
+@click.option("--gin-binding", "-b", multiple=True,
+              help="Extra gin bindings applied after the files, e.g. "
+                   "'TrainConfig.max_steps = 2000' or "
+                   "\"NeuralWaveshaping.compute_dtype = 'bfloat16'\"")
 @click.option("--dataset-path", required=True, help="Dataset root directory")
 @click.option("--urmp", is_flag=True, help="dataset-path is a URMP root with per-instrument subdirs")
 @click.option("--device", default=None, type=int, help="Number of TPU devices for the data-parallel mesh (default: all)")
@@ -52,6 +56,7 @@ def get_model(model=NeuralWaveshaping):
 @click.option("--from-torch-checkpoint", default="", help="Initialize params from a converted reference .ckpt (fine-tune)")
 def main(
     gin_file,
+    gin_binding,
     dataset_path,
     urmp,
     device,
@@ -65,6 +70,8 @@ def main(
 ):
     for f in gin_file:
         gin.parse_config_file(f)
+    for b in gin_binding:
+        gin.parse_config(b)
 
     model = get_model()
     cfg_kwargs = {}

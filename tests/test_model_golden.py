@@ -273,3 +273,25 @@ def test_init_shapes_match_converted(params):
     fresh_shapes = jax.tree_util.tree_map(lambda x: x.shape, fresh)
     conv_shapes = jax.tree_util.tree_map(lambda x: x.shape, params)
     assert fresh_shapes == conv_shapes
+
+
+def test_bf16_compute_dtype_close_to_f32():
+    """The mixed-precision path (compute_dtype='bfloat16') must track the
+    f32 render closely: same params, same key, normalized RMS error
+    bounded by bf16's ~3 significant digits. Guards the casting scope —
+    phase accumulation and the FFT branches must stay f32 (a bf16 leak
+    there produces garbage far above this tolerance)."""
+    m32 = NeuralWaveshaping()
+    m16 = NeuralWaveshaping(compute_dtype="bfloat16")
+    params = m32.init(jax.random.PRNGKey(3))
+    rng = np.random.default_rng(7)
+    f0 = jnp.asarray(
+        220.0 * 2.0 ** rng.uniform(0, 1, (2, 100)), jnp.float32
+    )
+    control = jnp.asarray(rng.standard_normal((2, 100, 2)), jnp.float32)
+    key = jax.random.PRNGKey(11)
+    y32 = np.asarray(jax.jit(m32.apply)(params, f0, control, key=key))
+    y16 = np.asarray(jax.jit(m16.apply)(params, f0, control, key=key))
+    assert y16.dtype == np.float32
+    nrms = np.sqrt(np.mean((y16 - y32) ** 2)) / (np.sqrt(np.mean(y32**2)) + 1e-12)
+    assert nrms < 0.05, f"bf16 render diverged: nRMS {nrms:.4f}"
