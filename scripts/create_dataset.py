@@ -31,15 +31,21 @@ def select_f0_extractor(name: str) -> None:
 
 @click.command()
 @click.option("--gin-file", multiple=True, default=("gin/data/urmp_4second_crepe.gin",))
+@click.option("--gin-binding", "-b", multiple=True,
+              help="Extra gin bindings applied after the files")
 @click.option("--data-directory", prompt="Data directory")
 @click.option("--output-directory", prompt="Output directory")
 @click.option("--seed", default=0)
-@click.option("--f0-extractor", default="", type=click.Choice(["", "crepe", "yin"]),
+@click.option("--f0-extractor", default="",
+              type=click.Choice(["", "crepe", "yin", "pyin"]),
               help="Override the gin-configured f0 extractor")
 @click.option("--crepe-weights", default="", help="Path to a torchcrepe .pth weight file")
-def main(gin_file, data_directory, output_directory, seed, f0_extractor, crepe_weights):
+def main(gin_file, gin_binding, data_directory, output_directory, seed,
+         f0_extractor, crepe_weights):
     for f in gin_file:
         gin.parse_config_file(f)
+    for b in gin_binding:
+        gin.parse_config(b)
     select_f0_extractor(f0_extractor)
     if crepe_weights:
         # bind directly (string interpolation into gin syntax would break

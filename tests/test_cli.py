@@ -150,3 +150,56 @@ def test_hang_watchdog_fires(tmp_path):
     assert "giving up" in r.stdout, (r.stdout, r.stderr)
     assert r.returncode == 3
     assert "watchdog never fired" not in r.stdout
+
+
+def test_create_dataset_cli_crepe_extractor(tmp_path):
+    """The reference's primary dataset path (create_dataset with CREPE
+    f0 + Viterbi) driven end-to-end through the CLI. No pretrained
+    weights exist in this environment, so the run uses oracle-random
+    tiny-capacity weights saved in torchcrepe's .pth layout — exercising
+    weight conversion, the batched CNN, Viterbi decode, and the shard
+    writer; the confidence filter is disabled because random weights
+    produce meaningless confidences."""
+    import torch
+
+    rng = np.random.default_rng(0)
+    filters = [4 * f for f in (32, 4, 4, 4, 8, 16)]
+    widths = (512, 64, 64, 64, 64, 64)
+    sd, in_ch = {}, 1
+    for i, (out_ch, w) in enumerate(zip(filters, widths), start=1):
+        sd[f"conv{i}.weight"] = torch.tensor(
+            rng.standard_normal((out_ch, in_ch, w, 1)).astype(np.float32) * 0.05)
+        sd[f"conv{i}.bias"] = torch.tensor(np.zeros(out_ch, np.float32))
+        sd[f"conv{i}_BN.weight"] = torch.tensor(np.ones(out_ch, np.float32))
+        sd[f"conv{i}_BN.bias"] = torch.tensor(np.zeros(out_ch, np.float32))
+        sd[f"conv{i}_BN.running_mean"] = torch.tensor(np.zeros(out_ch, np.float32))
+        sd[f"conv{i}_BN.running_var"] = torch.tensor(np.ones(out_ch, np.float32))
+        in_ch = out_ch
+    sd["classifier.weight"] = torch.tensor(
+        rng.standard_normal((360, 4 * filters[-1])).astype(np.float32) * 0.05)
+    sd["classifier.bias"] = torch.tensor(np.zeros(360, np.float32))
+    weights = tmp_path / "crepe_tiny_random.pth"
+    torch.save(sd, weights)
+
+    sr = 16000
+    t = np.arange(5 * sr) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    wavfile.write(wav_dir / "tone.wav", sr, (tone * 32767).astype(np.int16))
+
+    out = tmp_path / "out"
+    r = run_cli(
+        "create_dataset.py",
+        "--data-directory", str(wav_dir),
+        "--output-directory", str(out),
+        "--f0-extractor", "crepe",
+        "--crepe-weights", str(weights),
+        "-b", "extract_f0_with_crepe.full_model = False",
+        "-b", "preprocess_audio.confidence_threshold = -1.0",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    n = sum(
+        len(os.listdir(out / s / "audio")) for s in ("train", "val", "test")
+    )
+    assert n == 1  # 5 s -> one 4 s window, filter disabled

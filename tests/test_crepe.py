@@ -1,6 +1,8 @@
 """CREPE-JAX tests: architecture shapes, torchcrepe layout-conversion
 parity (random weights through a stock-torch oracle), Viterbi decoding,
 and cents refinement."""
+import os
+
 import numpy as np
 import pytest
 import torch
@@ -30,9 +32,9 @@ def test_frame_audio_normalization(rng):
     np.testing.assert_allclose(f[5:-5].std(-1), 1.0, atol=1e-3)
 
 
-def _make_torch_tiny_state(rng):
-    """Random weights in torchcrepe's state-dict layout, tiny capacity."""
-    filters = [4 * f for f in (32, 4, 4, 4, 8, 16)]
+def _make_torch_state(rng, capacity_mult):
+    """Random weights in torchcrepe's state-dict layout."""
+    filters = [capacity_mult * f for f in (32, 4, 4, 4, 8, 16)]
     widths = (512, 64, 64, 64, 64, 64)
     sd = {}
     in_ch = 1
@@ -91,6 +93,10 @@ def _torch_crepe_forward(sd, x):
         return torch.sigmoid(
             F.linear(h, sd["classifier.weight"], sd["classifier.bias"])
         )
+
+
+def _make_torch_tiny_state(rng):
+    return _make_torch_state(rng, 4)
 
 
 def test_conversion_matches_torch_oracle(rng):
@@ -177,3 +183,128 @@ def test_predict_random_weights_shapes():
     assert f0.shape == conf.shape == (1 + 16000 // 128,)
     assert np.isfinite(f0).all()
     assert (f0 >= 50.0 - 15).all() and (f0 <= 2000.0 + 600).all()  # mask ± refinement
+
+
+# ---------------------------------------------------------------------------
+# predict-level parity: the WHOLE pipeline (frame -> conv stack -> mask ->
+# Viterbi -> cents refinement -> periodicity) against an independent
+# torch+numpy oracle, at FULL capacity (VERDICT r1 #3). Random weights:
+# values are arbitrary but every stage's arithmetic must agree.
+# ---------------------------------------------------------------------------
+def _oracle_predict(sd, audio, hop=128, fmin=50.0, fmax=2000.0):
+    """torchcrepe.predict's documented pipeline, re-derived with stock
+    torch (CNN) + numpy (framing, Viterbi DP, refinement)."""
+    n_frames = 1 + len(audio) // hop
+    padded = np.pad(audio, (512, 512))
+    frames = np.stack(
+        [padded[i * hop : i * hop + 1024] for i in range(n_frames)]
+    ).astype(np.float32)
+    mean = frames.mean(-1, keepdims=True)
+    std = np.maximum(frames.std(-1, keepdims=True), 1e-10)
+    frames = (frames - mean) / std
+
+    probs = _torch_crepe_forward(sd, torch.tensor(frames)).numpy()
+
+    bins_all = np.arange(360)
+    freqs = 10 * 2.0 ** ((20.0 * bins_all + 1997.3794084376191) / 1200.0)
+    probs = probs * ((freqs >= fmin) & (freqs <= fmax))
+
+    # Viterbi (numpy DP, same construction as the production scan)
+    t, n = probs.shape
+    diff = np.abs(bins_all[:, None] - bins_all[None, :]).astype(np.float64)
+    trans = np.maximum(12 - diff, 0.0)
+    log_trans = np.log(trans / trans.sum(1, keepdims=True) + 1e-20)
+    obs = probs / np.maximum(probs.sum(-1, keepdims=True), 1e-12)
+    log_obs = np.log(obs + 1e-20)
+    delta = log_obs[0] - np.log(n)
+    ptrs = np.zeros((t - 1, n), np.int64)
+    for i in range(1, t):
+        scores = delta[:, None] + log_trans
+        ptrs[i - 1] = scores.argmax(0)
+        delta = scores.max(0) + log_obs[i]
+    path = np.zeros(t, np.int64)
+    path[-1] = delta.argmax()
+    for i in range(t - 2, -1, -1):
+        path[i] = ptrs[i, path[i + 1]]
+
+    # local weighted average cents + periodicity at the decoded bin
+    idx = np.clip(path[:, None] + np.arange(-4, 5)[None, :], 0, 359)
+    w = np.take_along_axis(probs, idx, axis=-1)
+    cents_grid = 20.0 * idx + 1997.3794084376191
+    cents = (w * cents_grid).sum(-1) / np.maximum(w.sum(-1), 1e-12)
+    f0 = 10 * 2.0 ** (cents / 1200.0)
+    periodicity = probs[np.arange(t), path]
+    return f0, periodicity
+
+
+def test_predict_matches_oracle_full_capacity(rng):
+    """End-to-end predict() parity at the reference's capacity ('full',
+    ~22M params): the JAX pipeline must reproduce the oracle's f0 track
+    and periodicity on real audio-like input. Short clip (0.1 s, 13
+    frames) keeps the full-capacity CPU convs tractable."""
+    sd = _make_torch_state(rng, 32)
+    params = jax.tree_util.tree_map(
+        jnp.asarray, crepe.convert_torchcrepe_state_dict(sd)
+    )
+    model = crepe.Crepe(capacity="full")
+
+    t = np.arange(1600) / 16000.0
+    audio = (
+        0.5 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.standard_normal(1600)
+    ).astype(np.float32)
+
+    f0, conf = crepe.predict(model, params, audio, frame_bucket=16)
+    f0_ref, conf_ref = _oracle_predict(sd, audio)
+
+    assert f0.shape == f0_ref.shape == (1 + 1600 // 128,)
+    np.testing.assert_allclose(f0, f0_ref, rtol=1e-3)
+    np.testing.assert_allclose(conf, conf_ref, rtol=1e-3, atol=1e-5)
+
+
+def test_predict_matches_oracle_tiny_long(rng):
+    """Same parity on a longer clip at tiny capacity: exercises frame
+    bucketing (pad beyond one bucket), batch chunking, and a Viterbi
+    long enough to have real path structure."""
+    sd = _make_torch_tiny_state(rng)
+    params = jax.tree_util.tree_map(
+        jnp.asarray, crepe.convert_torchcrepe_state_dict(sd)
+    )
+    model = crepe.Crepe(capacity="tiny")
+
+    t = np.arange(16000) / 16000.0
+    sweep = np.sin(2 * np.pi * (220 * t + 110 * t**2))
+    audio = (0.5 * sweep + 0.02 * rng.standard_normal(16000)).astype(np.float32)
+
+    f0, conf = crepe.predict(
+        model, params, audio, batch_size=64, frame_bucket=32
+    )
+    f0_ref, conf_ref = _oracle_predict(sd, audio)
+    np.testing.assert_allclose(f0, f0_ref, rtol=1e-3)
+    np.testing.assert_allclose(conf, conf_ref, rtol=1e-3, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# pretrained-weights integration (activates when a torchcrepe .pth exists)
+# ---------------------------------------------------------------------------
+_WEIGHTS = os.environ.get("CREPE_WEIGHTS", "")
+
+
+@pytest.mark.skipif(
+    not (_WEIGHTS and os.path.exists(_WEIGHTS)),
+    reason="set CREPE_WEIGHTS to a torchcrepe full.pth "
+    "(github.com/maxrmorrison/torchcrepe, torchcrepe/assets/full.pth)",
+)
+def test_pretrained_full_tracks_pitch():
+    """With real weights the full model must actually track pitch: a
+    clean A4 sine decodes within 10 cents with high periodicity."""
+    params = jax.tree_util.tree_map(
+        jnp.asarray, crepe.load_torchcrepe_weights(_WEIGHTS)
+    )
+    model = crepe.Crepe(capacity="full")
+    t = np.arange(16000) / 16000.0
+    audio = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    f0, conf = crepe.predict(model, params, audio)
+    interior = slice(5, -5)
+    cents_err = 1200 * np.abs(np.log2(f0[interior] / 440.0))
+    assert np.median(cents_err) < 10.0
+    assert conf[interior].mean() > 0.7
