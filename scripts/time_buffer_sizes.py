@@ -66,6 +66,7 @@ def main(gin_file, checkpoint, iterations, warmup, use_fast_newt, streaming,
     table = model.newt.bake_lookup_table(params["newt"]) if use_fast_newt else None
 
     rows = []
+    summary_rows = []
     rng = np.random.default_rng(0)
     for buffer_size in [int(b) for b in buffers.split(",")]:
         frames = buffer_size // model.control_hop
@@ -131,20 +132,41 @@ def main(gin_file, checkpoint, iterations, warmup, use_fast_newt, streaming,
 
         times = np.asarray(times)
         budget = buffer_size / model.sample_rate
+        p50, p95 = np.percentile(times, 50) * 1000, np.percentile(times, 95) * 1000
         print(
-            f"buffer {buffer_size:6d}: p50 {np.percentile(times,50)*1000:7.3f} ms  "
-            f"p90 {np.percentile(times,90)*1000:7.3f} ms  "
+            f"buffer {buffer_size:6d}: p50 {p50:7.3f} ms  "
+            f"p95 {p95:7.3f} ms  "
             f"budget {budget*1000:7.3f} ms  "
-            f"{'OK' if np.percentile(times,50) < budget else 'OVER'}"
+            f"{'OK' if p50 < budget * 1000 else 'OVER'}"
         )
         rows += [
             {"model": model_name, "device": device, "buffer_size": buffer_size,
              "seconds": t}
             for t in times
         ]
+        if streaming:
+            # latency decomposition: the scan-measured device step is the
+            # on-chip cost; everything above it in the per-call totals is
+            # host round-trip (dispatch + fetch through the tunnel)
+            summary_rows.append(
+                {
+                    "model": model_name, "device": device,
+                    "buffer_size": buffer_size,
+                    "p50_ms": p50, "p95_ms": p95,
+                    "device_step_ms": dev_ms,
+                    "host_rtt_p50_ms": max(p50 - dev_ms, 0.0),
+                    "host_rtt_p95_ms": max(p95 - dev_ms, 0.0),
+                    "budget_ms": budget * 1000,
+                }
+            )
 
     pd.DataFrame(rows).to_csv(output_csv, index=False)
     print(f"wrote {output_csv}")
+    if summary_rows:
+        base, ext = os.path.splitext(output_csv)
+        summary_csv = f"{base}_summary{ext or '.csv'}"
+        pd.DataFrame(summary_rows).to_csv(summary_csv, index=False)
+        print(f"wrote {summary_csv} (p50/p95 with device/host-RTT split)")
 
 
 if __name__ == "__main__":
