@@ -58,16 +58,37 @@ def harmonic_oscillator_bank(
     phase = phase_accumulate(f0, sample_rate)  # (B, T)
     if initial_phase is not None:
         phase = phase + initial_phase[:, None]
+    if phase_offset is None and key is not None:
+        phase_offset = draw_phase_offset(key, n_harmonics, f0.dtype)
+    return bank_from_phase(phase, f0, n_harmonics, sample_rate, phase_offset)
 
+
+def draw_phase_offset(key: jax.Array, n_harmonics: int, dtype=jnp.float32):
+    """The reference's fresh per-forward phase draw: uniform [-pi, pi),
+    shared across the batch (generators.py:54-56)."""
+    return jax.random.uniform(key, (n_harmonics,), dtype=dtype) * TAU - math.pi
+
+
+def bank_from_phase(
+    phase: jnp.ndarray,
+    f0: jnp.ndarray,
+    n_harmonics: int,
+    sample_rate: float,
+    phase_offset: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Harmonic bank from an ALREADY-integrated phase track.
+
+    The single source of truth for the bank formula — used by the
+    standard path above and by time-sharded rendering, where the phase
+    integral is computed globally and each shard receives its slice
+    (parallel/time_shard.py).
+
+    Args: phase (B, T) radians; f0 (B, T) Hz (for the antialias mask).
+    Returns (B, T, H).
+    """
     k = jnp.arange(1, n_harmonics + 1, dtype=f0.dtype)  # (H,)
     if phase_offset is None:
-        if key is None:
-            phase_offset = jnp.zeros((n_harmonics,), dtype=f0.dtype)
-        else:
-            phase_offset = (
-                jax.random.uniform(key, (n_harmonics,), dtype=f0.dtype) * TAU
-                - math.pi
-            )
+        phase_offset = jnp.zeros((n_harmonics,), dtype=f0.dtype)
     if phase_offset.ndim == 1:
         phase_offset = phase_offset[None, None, :]  # (1, 1, H)
     else:

@@ -16,6 +16,7 @@ from .mesh import (
     shard_batch,
     local_batch_size,
 )
+from .time_shard import make_time_sharded_renderer
 
 __all__ = [
     "create_mesh",
@@ -23,4 +24,5 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "local_batch_size",
+    "make_time_sharded_renderer",
 ]

@@ -1,0 +1,103 @@
+"""Time-axis-sharded rendering must equal the unsharded offline graph.
+
+SURVEY.md §5's "long-context" row: the audio-time axis is the long
+dimension; `parallel/time_shard.py` shards the audio-rate work across
+the mesh as contiguous time chunks. These tests pin EXACT semantic
+equality with `model.apply` (same key => same audio) on the virtual
+8-device mesh, across mesh sizes, and on non-divisible frame counts
+(the edge-padding path).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from neural_waveshaping_synthesis_tpu.models import NeuralWaveshaping
+from neural_waveshaping_synthesis_tpu.parallel import (
+    create_mesh,
+    make_time_sharded_renderer,
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = NeuralWaveshaping()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0))
+    return model, params
+
+
+def _inputs(rng, b, tc):
+    f0 = jnp.asarray(
+        (220.0 * 2 ** rng.uniform(0, 1, (b, tc))).astype(np.float32)
+    )
+    control = jnp.asarray(rng.standard_normal((b, tc, 2)).astype(np.float32))
+    return f0, control
+
+
+@pytest.mark.parametrize("n_devices", [1, 2, 8])
+def test_matches_unsharded_render(model_and_params, rng, n_devices):
+    model, params = model_and_params
+    f0, control = _inputs(rng, 2, 40)
+    key = jax.random.PRNGKey(7)
+
+    reference = np.asarray(jax.jit(model.apply)(params, f0, control, key=key))
+    mesh = create_mesh(n_devices=n_devices)
+    render = make_time_sharded_renderer(model, mesh)
+    sharded = np.asarray(render(params, f0, control, key=key))
+
+    assert sharded.shape == reference.shape == (2, 40 * 128)
+    # f32 tolerance: sharded vs unsharded programs reassociate the
+    # 101-way mixer dot differently; the shaper's input_scale (~30x)
+    # amplifies that ~1e-7 to ~1e-4 through sin. Semantic EXACTNESS is
+    # proven in float64 below, where reassociation noise vanishes.
+    np.testing.assert_allclose(sharded, reference, atol=5e-4, rtol=5e-4)
+
+
+def test_matches_unsharded_render_exact_f64(model_and_params, rng):
+    """In float64 the sharded render must match the unsharded graph to
+    ~1e-10 — proving the chunk decomposition is semantically exact and
+    the f32 tolerance above is pure reassociation noise."""
+    model, params = model_and_params
+    with jax.enable_x64(True):
+        params64 = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x), jnp.float64), params
+        )
+        f0 = jnp.asarray(
+            (220.0 * 2 ** rng.uniform(0, 1, (1, 24))), jnp.float64
+        )
+        control = jnp.asarray(rng.standard_normal((1, 24, 2)), jnp.float64)
+        key = jax.random.PRNGKey(5)
+        reference = np.asarray(
+            jax.jit(model.apply)(params64, f0, control, key=key)
+        )
+        render = make_time_sharded_renderer(model, create_mesh())
+        sharded = np.asarray(render(params64, f0, control, key=key))
+        np.testing.assert_allclose(sharded, reference, atol=1e-10, rtol=1e-10)
+
+
+def test_non_divisible_frames_pad_path(model_and_params, rng):
+    """37 frames over 8 shards: the edge-padded chunks must not perturb
+    the true samples — including the last half-hop, whose tail clamp
+    must come from the TRUE last frame, not a pad frame."""
+    model, params = model_and_params
+    f0, control = _inputs(rng, 1, 37)
+    key = jax.random.PRNGKey(11)
+
+    reference = np.asarray(jax.jit(model.apply)(params, f0, control, key=key))
+    render = make_time_sharded_renderer(model, create_mesh())
+    sharded = np.asarray(render(params, f0, control, key=key))
+
+    assert sharded.shape == reference.shape == (1, 37 * 128)
+    np.testing.assert_allclose(sharded, reference, atol=5e-4, rtol=5e-4)
+
+
+def test_same_key_determinism(model_and_params, rng):
+    model, params = model_and_params
+    f0, control = _inputs(rng, 1, 16)
+    render = make_time_sharded_renderer(model, create_mesh())
+    a = np.asarray(render(params, f0, control, key=jax.random.PRNGKey(3)))
+    b = np.asarray(render(params, f0, control, key=jax.random.PRNGKey(3)))
+    c = np.asarray(render(params, f0, control, key=jax.random.PRNGKey(4)))
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 1e-6  # different key, different noise/phase
