@@ -118,6 +118,7 @@ def timbre_transfer(
     use_fast_newt: bool = False,
     seed: int = 0,
     frame_bucket: int = 256,
+    mesh=None,
 ) -> Tuple[np.ndarray, float]:
     """Full pipeline -> (synthesized audio (T,), x_realtime factor).
 
@@ -126,6 +127,13 @@ def timbre_transfer(
     after compilation. Control length is zero-padded up to a multiple of
     ``frame_bucket`` frames so arbitrary input lengths reuse a handful
     of compiled programs (trimmed after synthesis).
+
+    ``mesh``: a ``jax.sharding.Mesh`` enables time-axis-sharded
+    rendering (parallel/time_shard.py) — the audio-rate work splits
+    across the mesh's data axis as time chunks, the right parallelism
+    for ONE long clip. Mutually exclusive with ``use_fast_newt`` (the
+    sharded renderer evaluates the shaper bank directly, which is also
+    the faster path on TPU).
     """
     import time
 
@@ -147,12 +155,20 @@ def timbre_transfer(
     else:
         f0_pad, ctrl_pad = f0_hz, control
 
-    table = (
-        model.newt.bake_lookup_table(params["newt"]) if use_fast_newt else None
-    )
-    fwd = jax.jit(
-        lambda p, f, c, k: model.apply(p, f, c, key=k, lookup_table=table)
-    )
+    if mesh is not None:
+        if use_fast_newt:
+            raise ValueError("use_fast_newt is not supported with mesh "
+                             "(time-sharded) rendering")
+        from ..parallel import make_time_sharded_renderer
+
+        fwd = make_time_sharded_renderer(model, mesh)
+    else:
+        table = (
+            model.newt.bake_lookup_table(params["newt"]) if use_fast_newt else None
+        )
+        fwd = jax.jit(
+            lambda p, f, c, k: model.apply(p, f, c, key=k, lookup_table=table)
+        )
     f0_in = jnp.asarray(f0_pad[None])
     ctrl_in = jnp.asarray(ctrl_pad[None])
     key = jax.random.PRNGKey(seed)

@@ -94,6 +94,15 @@ def bank_from_phase(
     else:
         phase_offset = phase_offset[:, None, :]  # (B, 1, H)
 
+    # Wrap BEFORE the harmonic expansion: k is an integer, so
+    # sin(k*(phi mod tau) + o) == sin(k*phi + o) exactly — but the
+    # wrapped argument stays <= tau*H (~634) instead of growing with
+    # clip length, where f32's eps(k*phi) reaches ~0.03 rad after a few
+    # seconds and makes the sine's value depend on fusion order. This
+    # is strictly MORE accurate than the reference's unwrapped torch
+    # arithmetic, and it makes renders reproducible across program
+    # shapes (offline vs time-sharded vs streaming).
+    phase = jnp.mod(phase, TAU)
     harmonic_phase = phase[..., None] * k + phase_offset  # (B, T, H)
     antialias = (f0[..., None] * k) < (sample_rate / 2.0)
     return jnp.sin(harmonic_phase) * antialias.astype(f0.dtype)

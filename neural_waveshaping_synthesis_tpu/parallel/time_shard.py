@@ -36,6 +36,16 @@ Chunk boundaries are exact, not approximated:
 The same key produces the same audio as ``model.apply`` because the
 stochastic draws (phase offsets, uniform noise) happen once, replicated,
 with the model's own key-split structure.
+
+Precision note for very long renders: the phase integral is a single
+f32 cumsum whose absolute error grows with clip length (eps(f0*T/sr)
+cycles) — identically in the sharded and unsharded offline graphs (and
+in the reference's torch.cumsum), but the compiled reduction TREES may
+differ between programs, so two renders of a minutes-long clip agree
+in spectrum/energy rather than sample-for-sample
+(tests/test_time_shard.py documents the bound). Streaming synthesis
+(streaming/synth.py), which wraps its phase accumulator every buffer,
+is the precision-correct choice for unbounded durations.
 """
 from functools import partial
 from typing import Dict, Optional

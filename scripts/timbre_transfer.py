@@ -34,10 +34,14 @@ from scipy.io import wavfile
 @click.option("--crepe-weights", default="")
 @click.option("--use-fast-newt", is_flag=True)
 @click.option("--seed", default=0)
+@click.option("--time-shard-devices", default=0,
+              help="Shard the audio-time axis over N devices for long "
+                   "renders (0 = single-program; see parallel/time_shard.py)")
 def main(gin_file, input_path, checkpoint, output_path, octave_shift,
          loudness_scale, loudness_floor, loudness_conf_filter,
          pitch_conf_filter, pitch_smoothing, loudness_smoothing,
-         f0_extractor, crepe_weights, use_fast_newt, seed):
+         f0_extractor, crepe_weights, use_fast_newt, seed,
+         time_shard_devices):
     import jax
     import jax.numpy as jnp
 
@@ -57,6 +61,12 @@ def main(gin_file, input_path, checkpoint, output_path, octave_shift,
             "data_mean.npy/data_std.npy not found next to the checkpoint"
         )
     params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    mesh = None
+    if time_shard_devices > 0:
+        from neural_waveshaping_synthesis_tpu.parallel import create_mesh
+
+        mesh = create_mesh(n_devices=time_shard_devices)
 
     sr, audio = wavfile.read(input_path)
     out, speed = timbre_transfer(
@@ -79,6 +89,7 @@ def main(gin_file, input_path, checkpoint, output_path, octave_shift,
         crepe_weights=crepe_weights or None,
         use_fast_newt=use_fast_newt,
         seed=seed,
+        mesh=mesh,
     )
 
     write_wav(output_path, out, model.sample_rate)

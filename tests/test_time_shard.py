@@ -101,3 +101,47 @@ def test_same_key_determinism(model_and_params, rng):
     c = np.asarray(render(params, f0, control, key=jax.random.PRNGKey(4)))
     np.testing.assert_array_equal(a, b)
     assert np.abs(a - c).max() > 1e-6  # different key, different noise/phase
+
+
+def test_timbre_transfer_mesh_path(model_and_params, rng, tmp_path):
+    """The inference surface reaches the sharded renderer: timbre
+    transfer with mesh= must produce the same audio as the single-
+    program path (same key, f32 reassociation tolerance)."""
+    from neural_waveshaping_synthesis_tpu.inference import timbre_transfer
+
+    model, params = model_and_params
+    sr = 16000
+    t = np.arange(2 * sr) / sr
+    audio = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    mean = np.zeros((19, 1), np.float32)
+    mean[0] = 300.0
+    std = np.ones((19, 1), np.float32)
+    std[0] = 60.0
+
+    out_single, _ = timbre_transfer(
+        model, params, audio, sr, mean, std, seed=3
+    )
+    out_sharded, speed = timbre_transfer(
+        model, params, audio, sr, mean, std, seed=3, mesh=create_mesh()
+    )
+    assert out_sharded.shape == out_single.shape
+    assert speed > 0
+    # 32 s-scale clips: the two programs' phase-cumsum reduction trees
+    # differ at the f32 level, and that difference GROWS with clip
+    # length (eps(cumsum) ~ f0*T/sr), showing up as a slowly drifting
+    # phase wobble (~0.02 rad here) multiplied by the harmonic index.
+    # Semantic identity is proven in f64 (test above); at f32 the right
+    # check for long clips is energy/spectrum, not samples.
+    err = np.sqrt(np.mean((out_sharded - out_single) ** 2))
+    ref_rms = np.sqrt(np.mean(out_single**2))
+    assert err / ref_rms < 0.02, err / ref_rms
+    spec_a = np.abs(np.fft.rfft(out_sharded))
+    spec_b = np.abs(np.fft.rfft(out_single))
+    spec_err = np.linalg.norm(spec_a - spec_b) / np.linalg.norm(spec_b)
+    assert spec_err < 0.02, spec_err
+
+    with pytest.raises(ValueError):
+        timbre_transfer(
+            model, params, audio, sr, mean, std,
+            mesh=create_mesh(), use_fast_newt=True,
+        )
