@@ -162,6 +162,7 @@ def configurable(obj: Optional[Callable] = None, name: Optional[str] = None):
             wrapped.__module__ = target.__module__
             wrapped.__qualname__ = target.__qualname__
             wrapped.__doc__ = target.__doc__
+            wrapped.__gin_original__ = target
             _register(wrapped, reg_name)
             return wrapped
         else:
@@ -210,6 +211,56 @@ def query_parameter(target: str) -> Any:
 def clear_config() -> None:
     _BINDINGS.clear()
     _MACROS.clear()
+
+
+def validate_config(strict: bool = False) -> List[str]:
+    """Surface bindings that can never take effect.
+
+    Like gin, bindings are deferred — a typo'd configurable or parameter
+    name is a SILENT no-op at parse time. Call this after all modules
+    have imported (the CLIs do, post-parse) to catch:
+      * bindings whose configurable name is not registered;
+      * bindings naming a parameter the configurable doesn't accept
+        (skipped for **kwargs signatures).
+
+    Returns the list of problem descriptions; prints each as a warning,
+    and raises ConfigError instead when ``strict``.
+    """
+    import inspect
+    import sys
+
+    problems: List[str] = []
+    for scope, name, param in _BINDINGS:
+        fn = _REGISTRY.get(name)
+        full = f"{scope + '/' if scope else ''}{name}.{param}"
+        if fn is None:
+            problems.append(
+                f"binding {full!r}: no configurable named {name!r} is registered"
+            )
+            continue
+        target = (
+            getattr(fn, "__gin_original__", None)
+            or getattr(fn, "__wrapped__", None)
+            or fn
+        )
+        try:
+            sig = inspect.signature(target)
+        except (TypeError, ValueError):
+            continue
+        if any(
+            p.kind is inspect.Parameter.VAR_KEYWORD
+            for p in sig.parameters.values()
+        ):
+            continue
+        if param not in sig.parameters:
+            problems.append(
+                f"binding {full!r}: {name!r} has no parameter {param!r}"
+            )
+    if problems and strict:
+        raise ConfigError("; ".join(problems))
+    for p in problems:
+        print(f"[minigin] WARNING: {p}", file=sys.stderr)
+    return problems
 
 
 # ---------------------------------------------------------------------------

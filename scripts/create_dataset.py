@@ -46,6 +46,7 @@ def main(gin_file, gin_binding, data_directory, output_directory, seed,
         gin.parse_config_file(f)
     for b in gin_binding:
         gin.parse_config(b)
+    gin.validate_config()
     select_f0_extractor(f0_extractor)
     if crepe_weights:
         # bind directly (string interpolation into gin syntax would break

@@ -43,6 +43,7 @@ def main(gin_file, data_directory, output_directory, seed, instruments,
          f0_extractor, crepe_weights):
     for f in gin_file:
         gin.parse_config_file(f)
+    gin.validate_config()
     select_f0_extractor(f0_extractor)
     if crepe_weights:
         # bind directly (string interpolation into gin syntax would break

@@ -31,6 +31,7 @@ def main(gin_file, checkpoint, output, stats_from):
 
     for f in gin_file:
         gin.parse_config_file(f)
+    gin.validate_config()
     model = NeuralWaveshaping()
     hparams = {
         "n_waveshapers": model.n_waveshapers,

@@ -37,6 +37,7 @@ def main(gin_file, dataset_path, instrument, split, checkpoint, output_path,
 
     for f in gin_file:
         gin.parse_config_file(f)
+    gin.validate_config()
 
     model = NeuralWaveshaping()
     if os.path.isfile(checkpoint):

@@ -54,6 +54,7 @@ def main(gin_file, input_path, checkpoint, output_path, octave_shift,
 
     for f in gin_file:
         gin.parse_config_file(f)
+    gin.validate_config()
     model = NeuralWaveshaping()
     params, _, data_mean, data_std = load_reference_checkpoint(checkpoint)
     if data_mean is None:

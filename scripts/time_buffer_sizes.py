@@ -41,6 +41,7 @@ def main(gin_file, checkpoint, iterations, warmup, use_fast_newt, streaming,
 
     for f in gin_file:
         gin.parse_config_file(f)
+    gin.validate_config()
     model = NeuralWaveshaping()
 
     if checkpoint:

@@ -44,6 +44,7 @@ def main(gin_file, checkpoint, batch_size, length_in_seconds, iterations,
 
     for f in gin_file:
         gin.parse_config_file(f)
+    gin.validate_config()
     model = NeuralWaveshaping()
 
     if checkpoint:

@@ -37,6 +37,7 @@ def main(gin_file, batch_size, n_frames, scan_steps, repeats, bf16, remat):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for f in gin_file:
         gin.parse_config_file(os.path.join(repo, f) if not os.path.isabs(f) else f)
+    gin.validate_config()
     if bf16:
         gin.parse_config("NeuralWaveshaping.compute_dtype = 'bfloat16'")
     if remat:

@@ -72,6 +72,7 @@ def main(
         gin.parse_config_file(f)
     for b in gin_binding:
         gin.parse_config(b)
+    gin.validate_config()
 
     model = get_model()
     cfg_kwargs = {}

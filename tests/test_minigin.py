@@ -91,3 +91,45 @@ def test_operative_config_str():
     minigin.parse_config("a = 1\nFoo.bar = 2")
     dump = minigin.operative_config_str()
     assert "a = 1" in dump and "Foo.bar = 2" in dump
+
+
+def test_validate_config_flags_unknown_configurable():
+    minigin.clear_config()
+    minigin.parse_config("definitely_not_registered.param = 1")
+    problems = minigin.validate_config()
+    assert len(problems) == 1 and "definitely_not_registered" in problems[0]
+    with pytest.raises(minigin.ConfigError):
+        minigin.validate_config(strict=True)
+    minigin.clear_config()
+
+
+def test_validate_config_flags_unknown_parameter():
+    minigin.clear_config()
+    minigin.parse_config("NeuralWaveshaping.not_a_field = 3")
+    problems = minigin.validate_config()
+    assert len(problems) == 1 and "not_a_field" in problems[0]
+    minigin.clear_config()
+
+
+def test_validate_config_accepts_shipped_gin_files():
+    """Every binding in the shipped config files must resolve — the
+    validator guards users' configs, not ours."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # importing registers every configurable the gin files reference
+    import neural_waveshaping_synthesis_tpu.data.preprocess  # noqa: F401
+    import neural_waveshaping_synthesis_tpu.training  # noqa: F401
+
+    for f in ("gin/models/newt.gin", "gin/train/train_newt.gin",
+              "gin/data/urmp_4second_crepe.gin"):
+        minigin.clear_config()
+        minigin.parse_config_file(os.path.join(repo, f))
+        problems = [
+            p for p in minigin.validate_config()
+            # train.gin wires the model class into scripts/train.py's
+            # get_model, which only registers when that CLI runs
+            if "get_model" not in p
+        ]
+        assert problems == [], (f, problems)
+    minigin.clear_config()
