@@ -33,7 +33,8 @@ from neural_waveshaping_synthesis_tpu import minigin as gin
 @click.option("--repeats", default=3, help="Timed scan dispatches (after warm-up)")
 @click.option("--bf16", is_flag=True, help="bfloat16 compute in the synthesis graph")
 @click.option("--remat", is_flag=True, help="rematerialize the shaper bank in backward")
-def main(gin_file, batch_size, n_frames, scan_steps, repeats, bf16, remat):
+@click.option("--trace-dir", default="", help="Write a jax.profiler trace of one timed dispatch")
+def main(gin_file, batch_size, n_frames, scan_steps, repeats, bf16, remat, trace_dir):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for f in gin_file:
         gin.parse_config_file(os.path.join(repo, f) if not os.path.isabs(f) else f)
@@ -85,12 +86,15 @@ def main(gin_file, batch_size, n_frames, scan_steps, repeats, bf16, remat):
           f"loss[0]={first[0]:.4f} loss[-1]={first[-1]:.4f}")
     assert np.all(np.isfinite(first)), "non-finite losses"
 
+    from neural_waveshaping_synthesis_tpu.utils.profiling import trace
+
     per_step_ms = []
-    for _ in range(repeats):
-        t0 = time.time()
-        state, losses = multi_step(state, batches, key)
-        np.asarray(losses)  # fetch = the only reliable completion barrier
-        per_step_ms.append((time.time() - t0) * 1000.0 / scan_steps)
+    for i in range(repeats):
+        with trace(trace_dir if i == repeats - 1 else None):
+            t0 = time.time()
+            state, losses = multi_step(state, batches, key)
+            np.asarray(losses)  # fetch = the only reliable completion barrier
+            per_step_ms.append((time.time() - t0) * 1000.0 / scan_steps)
     best = min(per_step_ms)
     audio_s = batch_size * t_audio / float(model.sample_rate)
     print(f"[time_train_step] per-step ms over {repeats} dispatches: "
