@@ -257,6 +257,7 @@ class Trainer:
             k: NamedSharding(self.mesh, P(None, "data"))
             for k in ("audio", "f0", "control")
         }
+        self._chunk_sharding = chunk_sharding
         self._gather_chunk = jax.jit(
             lambda data, idx: {k: v[idx] for k, v in data.items()},
             in_shardings=(rep, rep),
@@ -370,10 +371,12 @@ class Trainer:
 
         # Fast path: stage the whole training split on device once and
         # gather batches inside the jitted step (see make_multi_train_step
-        # / make_batch_gather). Lazy datasets (load_to_memory=False) fall
-        # back to one host dispatch per step, which on this tunneled
-        # platform is ~20x slower (docs/DESIGN.md §2.3) — acceptable only
-        # when the corpus truly cannot fit in host+device memory.
+        # / make_batch_gather). Lazy datasets (load_to_memory=False) use
+        # the generic path below, which buffers host batches into chunks
+        # and runs them through the same scan program — one dispatch and
+        # one transfer per chunk instead of per step (the per-step
+        # variant measured ~20x slower through the tunnel,
+        # docs/DESIGN.md §2.3; chunking recovers most of that).
         device_data = None
         batch_size = getattr(datamodule, "batch_size", None)
         train_ds = None
@@ -418,7 +421,10 @@ class Trainer:
                 step,
             )
 
+        last_val_step = [-1]
+
         def run_val():
+            last_val_step[0] = step
             val_loss = self.evaluate(
                 state["params"],
                 datamodule.val_batches(),
@@ -467,9 +473,70 @@ class Trainer:
                 if step % cfg.val_every_n_steps == 0 or step >= cfg.max_steps:
                     run_val()
         else:
-            # Generic path: iterator datamodules, one step per dispatch.
-            prev_loss_sum = float(np.asarray(state["loss_sum"]))
-            steps_at_prev = step
+            # Generic path: iterator datamodules (lazy datasets). Batches
+            # are BUFFERED and run through the same N-step scan program
+            # as the fast path — one dispatch (and one host->device
+            # transfer) per chunk instead of per step. This lifts the
+            # lazy path from ~20x slower (per-step round trips through
+            # the tunnel) to within a few x of the on-device fast path;
+            # stragglers at epoch boundaries flush as single steps.
+            import math
+
+            chunk_len = math.gcd(cfg.log_every_n_steps, cfg.val_every_n_steps)
+            if chunk_len > 128:
+                chunk_len = max(d for d in range(1, 129) if chunk_len % d == 0)
+
+            next_log = (step // cfg.log_every_n_steps + 1) * cfg.log_every_n_steps
+            next_val = (step // cfg.val_every_n_steps + 1) * cfg.val_every_n_steps
+            window_loss, window_steps = 0.0, 0
+
+            def account(losses_sum: float, n_steps: int):
+                nonlocal window_loss, window_steps, next_log, next_val
+                window_loss += losses_sum
+                window_steps += n_steps
+                self.last_progress = time.time()
+                if step >= next_log:
+                    log_window(window_loss / max(window_steps, 1), window_steps)
+                    window_loss, window_steps = 0.0, 0
+                    next_log += cfg.log_every_n_steps
+                if step >= next_val:
+                    run_val()
+                    next_val += cfg.val_every_n_steps
+
+            buf: list = []
+
+            def flush_chunks(buffered):
+                """Run as many full chunks as fit through the scan
+                program (one dispatch + one transfer per chunk)."""
+                nonlocal state, step
+                while (
+                    len(buffered) >= chunk_len
+                    and step + chunk_len <= cfg.max_steps
+                ):
+                    chunk_batches = {
+                        k: jax.device_put(
+                            np.stack([b[k] for b in buffered[:chunk_len]]),
+                            self._chunk_sharding[k],
+                        )
+                        for k in ("audio", "f0", "control")
+                    }
+                    del buffered[:chunk_len]
+                    state, losses = self._multi_step(
+                        state, chunk_batches, train_key
+                    )
+                    step += chunk_len
+                    account(float(np.asarray(losses).sum()), chunk_len)
+
+            def drain_singles(buffered):
+                nonlocal state, step
+                while buffered and step < cfg.max_steps:
+                    batch = buffered.pop(0)
+                    state, metrics = self._train_step(
+                        state, shard_batch(batch, self.mesh), train_key
+                    )
+                    step += 1
+                    account(float(np.asarray(metrics["loss"])), 1)
+
             done = False
             while not done and step < cfg.max_steps:
                 done = True
@@ -479,22 +546,17 @@ class Trainer:
                     done = False
                     if step >= cfg.max_steps:
                         break
-                    state, metrics = self._train_step(
-                        state, shard_batch(batch, self.mesh), train_key
-                    )
-                    step += 1
-                    self.last_progress = time.time()
-                    if step % cfg.log_every_n_steps == 0:
-                        loss_sum = float(np.asarray(state["loss_sum"]))
-                        window = max(1, step - steps_at_prev)
-                        mean = (loss_sum - prev_loss_sum) / window
-                        prev_loss_sum, steps_at_prev = loss_sum, step
-                        log_window(mean, window)
-                    if (
-                        step % cfg.val_every_n_steps == 0
-                        or step >= cfg.max_steps
-                    ):
-                        run_val()
+                    buf.append({k: np.asarray(v) for k, v in batch.items()})
+                    flush_chunks(buf)
+                    if cfg.max_steps - step < chunk_len:
+                        drain_singles(buf)
+                # buf (an epoch tail shorter than one chunk) carries into
+                # the next epoch — batches are drop-remainder uniform
+            drain_singles(buf)
+            if window_steps:
+                log_window(window_loss / window_steps, window_steps)
+            if step != last_val_step[0]:
+                run_val()
 
         manager.wait_until_finished()
         return state

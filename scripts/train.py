@@ -45,10 +45,10 @@ def get_model(model=NeuralWaveshaping):
 @click.option("--instrument", default="vn")
 @click.option("--load-data-to-memory/--no-load-data-to-memory", default=True,
               help="Lazy per-batch shard loading when off (large corpora). "
-                   "WARNING: disables the on-device scan fast path; each "
-                   "step pays a host->device round-trip (~20x slower on "
-                   "tunneled TPUs). Keep on unless the corpus exceeds "
-                   "host memory.")
+                   "Lazy batches stream in scan-sized chunks (one device "
+                   "dispatch per chunk), slower than the fully on-device "
+                   "fast path but far from the old per-step cliff. Keep "
+                   "on unless the corpus exceeds host memory.")
 @click.option("--with-wandb", is_flag=True)
 @click.option("--restore-checkpoint", is_flag=True, help="Resume from the latest checkpoint in TrainConfig.checkpoint_dir")
 @click.option("--checkpoint-dir", default=None, help="Override TrainConfig.checkpoint_dir")
