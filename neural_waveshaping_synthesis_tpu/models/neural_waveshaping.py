@@ -110,9 +110,10 @@ class NeuralWaveshaping:
         )
         cd = jnp.dtype(self.compute_dtype)
         if cd != jnp.float32:
-            # bf16 bank halves the (B, Ta, 101) HBM read; the dot keeps
-            # a float32 accumulator (preferred_element_type) so the
-            # exciter itself comes back float32-valued.
+            # bf16 bank halves the (B, Ta, 101) HBM read; the dot still
+            # accumulates in float32 (preferred_element_type), and the
+            # result follows the input dtype (dense_apply's mixed-
+            # precision contract) — the exciter stays bf16 downstream.
             mixer = {"w": p["harmonic_mixer"]["w"].astype(cd),
                      "b": p["harmonic_mixer"]["b"]}
             return dense_apply(mixer, bank.astype(cd))

@@ -97,17 +97,41 @@ def make_time_sharded_renderer(model, mesh):
     hop = int(model.control_hop)
     n_shards = int(mesh.shape[DATA_AXIS])
     n_harmonics = int(model.osc.n_harmonics)
-    sample_rate = float(model.sample_rate)
+    # the oscillator's OWN rate: phase integration and the antialias
+    # mask must match osc.apply even if it is gin-configured differently
+    # from the model-level sample_rate
+    osc_rate = float(model.osc.sample_rate)
     c = int(model.n_waveshapers)
     shaping_fn = model.newt.shaping_fn
+    compute_dtype = jnp.dtype(model.compute_dtype)
 
     def chunk_fn(shard_params, phase_ck, f0_ck, film_ck, offset):
         # shard_map hands each device its (1, ...) slice of the leading
         # chunk axis
         phase_ck, f0_ck, film_ck = phase_ck[0], f0_ck[0], film_ck[0]
         bank = bank_from_phase(
-            phase_ck, f0_ck, n_harmonics, sample_rate, offset
+            phase_ck, f0_ck, n_harmonics, osc_rate, offset
         )
+        if compute_dtype != jnp.float32:
+            # mirror model.apply's mixed-precision scope exactly: bf16
+            # bank/mixer + bf16 NEWT block, f32 accumulators via
+            # dense_apply, f32 result after the final mixer
+            bank = bank.astype(compute_dtype)
+            film_ck = film_ck.astype(compute_dtype)
+            shard_params = {
+                # model.apply keeps the harmonic-mixer BIAS f32
+                # (neural_waveshaping.py render_exciter) — mirror that
+                "harmonic_mixer": {
+                    "w": shard_params["harmonic_mixer"]["w"].astype(compute_dtype),
+                    "b": shard_params["harmonic_mixer"]["b"],
+                },
+                "shaping_fn": jax.tree_util.tree_map(
+                    lambda x: x.astype(compute_dtype), shard_params["shaping_fn"]
+                ),
+                "mixer": jax.tree_util.tree_map(
+                    lambda x: x.astype(compute_dtype), shard_params["mixer"]
+                ),
+            }
         exciter = dense_apply(shard_params["harmonic_mixer"], bank)
         film_aud = _upsample_chunk(film_ck, hop)  # (B, chunk, 4C)
         gi = film_aud[..., :c]
@@ -118,7 +142,7 @@ def make_time_sharded_renderer(model, mesh):
         x = shaping_fn.apply(shard_params["shaping_fn"], x)
         x = gn * x + bn
         shaped = dense_apply(shard_params["mixer"], x)[..., 0]  # (B, chunk)
-        return shaped[None]
+        return shaped[None].astype(jnp.float32)
 
     sharded_chunks = shard_map(
         chunk_fn,
@@ -149,7 +173,7 @@ def make_time_sharded_renderer(model, mesh):
         noise_audio = model.noise_synth.apply(h, key=k_noise, noise=noise)
 
         f0_up = linear_upsample(f0[..., None], ta)[..., 0]  # (B, Ta)
-        phase = phase_accumulate(f0_up, sample_rate)
+        phase = phase_accumulate(f0_up, osc_rate)
         if phase_offset is None:
             if k_phase is not None:
                 phase_offset = draw_phase_offset(k_phase, n_harmonics, f0.dtype)

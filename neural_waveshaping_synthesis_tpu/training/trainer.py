@@ -210,6 +210,20 @@ def make_multi_train_step(model: NeuralWaveshaping, cfg: TrainConfig):
     return multi_step
 
 
+def _chunk_length(cfg: TrainConfig) -> int:
+    """Steps fused into one scan dispatch: the largest divisor of the
+    log/val cadence gcd not exceeding 128 (longer chunks pre-gather
+    GB-scale batch buffers and have crashed the TPU worker; ~128 already
+    amortizes host overhead below 3%). A divisor keeps log/val
+    boundaries aligned with chunk boundaries."""
+    import math
+
+    chunk = math.gcd(cfg.log_every_n_steps, cfg.val_every_n_steps)
+    if chunk > 128:
+        chunk = max(d for d in range(1, 129) if chunk % d == 0)
+    return chunk
+
+
 def make_eval_step(model: NeuralWaveshaping):
     def eval_step(params: Dict, batch: Dict, key: jax.Array):
         recon = model.apply(params, batch["f0"], batch["control"], key=key)
@@ -438,8 +452,6 @@ class Trainer:
             # Chunked fast path: gcd-sized chunks of steps run as ONE
             # dispatch each (lax.scan inside jit); the host only builds
             # index matrices and reads one (chunk,) loss array per chunk.
-            import math
-
             n = len(train_ds)
             index_pool: list = []
 
@@ -452,15 +464,7 @@ class Trainer:
                 del index_pool[:count]
                 return out
 
-            base_chunk = math.gcd(cfg.log_every_n_steps, cfg.val_every_n_steps)
-            # cap the scan length: very long chunks mean GB-scale
-            # pre-gathered batch buffers and have crashed the TPU worker;
-            # ~128 steps amortize host overhead to <3% already. Keep the
-            # cap a divisor so log/val boundaries still align.
-            if base_chunk > 128:
-                base_chunk = max(
-                    d for d in range(1, 129) if base_chunk % d == 0
-                )
+            base_chunk = _chunk_length(cfg)
             while step < cfg.max_steps:
                 chunk = min(base_chunk, cfg.max_steps - step)
                 idx = take_indices(chunk * bs).reshape(chunk, bs)
@@ -480,11 +484,7 @@ class Trainer:
             # lazy path from ~20x slower (per-step round trips through
             # the tunnel) to within a few x of the on-device fast path;
             # stragglers at epoch boundaries flush as single steps.
-            import math
-
-            chunk_len = math.gcd(cfg.log_every_n_steps, cfg.val_every_n_steps)
-            if chunk_len > 128:
-                chunk_len = max(d for d in range(1, 129) if chunk_len % d == 0)
+            chunk_len = _chunk_length(cfg)
 
             next_log = (step // cfg.log_every_n_steps + 1) * cfg.log_every_n_steps
             next_val = (step // cfg.val_every_n_steps + 1) * cfg.val_every_n_steps

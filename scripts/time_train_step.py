@@ -38,7 +38,6 @@ def main(gin_file, batch_size, n_frames, scan_steps, repeats, bf16, remat, trace
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for f in gin_file:
         gin.parse_config_file(os.path.join(repo, f) if not os.path.isabs(f) else f)
-    gin.validate_config()
     if bf16:
         gin.parse_config("NeuralWaveshaping.compute_dtype = 'bfloat16'")
     if remat:
@@ -50,6 +49,10 @@ def main(gin_file, batch_size, n_frames, scan_steps, repeats, bf16, remat, trace
     from neural_waveshaping_synthesis_tpu.models import NeuralWaveshaping
     from neural_waveshaping_synthesis_tpu.training import TrainConfig, init_train_state
     from neural_waveshaping_synthesis_tpu.training.trainer import make_multi_train_step
+
+    # validate AFTER the imports above: they register the configurables
+    # the gin files bind (validating earlier flags everything as unknown)
+    gin.validate_config()
 
     model = NeuralWaveshaping()
     cfg = TrainConfig()

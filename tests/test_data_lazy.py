@@ -39,3 +39,41 @@ def test_lazy_trains_via_generic_path(synthetic_dataset, tmp_path):  # noqa: F81
     trainer = Trainer(tiny_model(), cfg)
     state = trainer.fit(dm)
     assert int(state["step"]) == 2
+
+
+def test_lazy_chunked_path_stragglers_and_cadence(synthetic_dataset, tmp_path):  # noqa: F811
+    """Chunked lazy training with a max_steps that is NOT a multiple of
+    the chunk length: 3 full chunks of gcd(2,4)=2 then one single-step
+    drain, log/val cadence firing at thresholds, and exactly one final
+    val/checkpoint."""
+    from neural_waveshaping_synthesis_tpu.training import TrainConfig, Trainer
+
+    cfg = TrainConfig(
+        max_steps=7,
+        val_every_n_steps=4,
+        log_every_n_steps=2,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    dm = GeneralDataModule(synthetic_dataset, batch_size=8, load_to_memory=False)
+    trainer = Trainer(tiny_model(), cfg)
+
+    logged = []
+
+    class Spy:
+        def log_metrics(self, metrics, step):
+            logged.append((step, dict(metrics)))
+
+    trainer.loggers.append(Spy())
+    state = trainer.fit(dm)
+    assert int(state["step"]) == 7
+
+    train_steps = [s for s, m in logged if "train/loss" in m]
+    val_steps = [s for s, m in logged if "val/loss" in m]
+    assert train_steps == [2, 4, 6, 7], train_steps
+    # val at the 4-boundary plus exactly one final val at max_steps
+    assert val_steps == [4, 7], val_steps
+
+    import orbax.checkpoint as ocp
+
+    mngr = ocp.CheckpointManager(str(tmp_path / "ck"))
+    assert mngr.latest_step() == 7

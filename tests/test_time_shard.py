@@ -145,3 +145,24 @@ def test_timbre_transfer_mesh_path(model_and_params, rng, tmp_path):
             model, params, audio, sr, mean, std,
             mesh=create_mesh(), use_fast_newt=True,
         )
+
+
+def test_bf16_model_matches_unsharded(model_and_params, rng):
+    """compute_dtype='bfloat16' models must keep the sharded == unsharded
+    contract: the renderer mirrors model.apply's mixed-precision scope."""
+    _, params = model_and_params
+    model16 = NeuralWaveshaping(compute_dtype="bfloat16")
+    f0, control = _inputs(rng, 1, 16)
+    key = jax.random.PRNGKey(9)
+    reference = np.asarray(jax.jit(model16.apply)(params, f0, control, key=key))
+    render = make_time_sharded_renderer(model16, create_mesh())
+    sharded = np.asarray(render(params, f0, control, key=key))
+    # bf16 quantization noise scale, short clip: tight-ish bound
+    np.testing.assert_allclose(sharded, reference, atol=2e-2, rtol=2e-2)
+    # and the bf16 render tracks the f32 one (sanity on the cast scope)
+    model32 = NeuralWaveshaping()
+    ref32 = np.asarray(jax.jit(model32.apply)(params, f0, control, key=key))
+    nrms = np.sqrt(np.mean((sharded - ref32) ** 2)) / (
+        np.sqrt(np.mean(ref32**2)) + 1e-12
+    )
+    assert nrms < 0.05, nrms
