@@ -203,3 +203,43 @@ def test_create_dataset_cli_crepe_extractor(tmp_path):
         len(os.listdir(out / s / "audio")) for s in ("train", "val", "test")
     )
     assert n == 1  # 5 s -> one 4 s window, filter disabled
+
+
+def test_export_checkpoint_cli_roundtrip(tmp_path):
+    """Train-side orbax checkpoint -> export CLI -> reference PL .ckpt ->
+    converter reload: every tensor must survive the full interchange."""
+    import jax
+
+    from neural_waveshaping_synthesis_tpu.convert import load_reference_checkpoint
+    from neural_waveshaping_synthesis_tpu.models import NeuralWaveshaping
+    from neural_waveshaping_synthesis_tpu.training import (
+        TrainConfig,
+        init_train_state,
+    )
+    import orbax.checkpoint as ocp
+
+    model = NeuralWaveshaping()
+    state = init_train_state(model, TrainConfig(), jax.random.PRNGKey(0))
+    ck_dir = tmp_path / "ck"
+    mngr = ocp.CheckpointManager(str(ck_dir))
+    mngr.save(3, args=ocp.args.StandardSave(state))
+    mngr.wait_until_finished()
+
+    out = tmp_path / "exported.ckpt"
+    r = run_cli(
+        "export_checkpoint.py",
+        "--checkpoint", str(ck_dir),
+        "--output", str(out),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists()
+
+    params2, hparams, _, _ = load_reference_checkpoint(str(out))
+    assert hparams["n_waveshapers"] == 64
+    leaves1 = jax.tree_util.tree_leaves(state["params"])
+    leaves2 = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, params2)
+    )
+    assert len(leaves1) == len(leaves2)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_allclose(np.asarray(a), b, atol=1e-6)
