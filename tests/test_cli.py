@@ -243,3 +243,44 @@ def test_export_checkpoint_cli_roundtrip(tmp_path):
     assert len(leaves1) == len(leaves2)
     for a, b in zip(leaves1, leaves2):
         np.testing.assert_allclose(np.asarray(a), b, atol=1e-6)
+
+
+def test_create_urmp_dataset_cli_end_to_end(tmp_path):
+    """Full URMP-layout pipeline: a synthetic two-instrument piece tree ->
+    per-instrument dataset dirs -> loadable by the URMP datamodule."""
+    sr = 16000
+    t = np.arange(9 * sr) / sr
+    piece = tmp_path / "urmp" / "01_Piece_vn_vc"
+    piece.mkdir(parents=True)
+    for name, hz in [("AuSep_1_vn_01_Piece.wav", 440.0),
+                     ("AuSep_2_vc_01_Piece.wav", 110.0)]:
+        tone = (0.5 * np.sin(2 * np.pi * hz * t)).astype(np.float32)
+        wavfile.write(piece / name, sr, (tone * 32767).astype(np.int16))
+    # a mix file that must NOT be picked up
+    wavfile.write(piece / "AuMix_01_Piece_vn_vc.wav", sr,
+                  np.zeros(sr, np.int16))
+
+    out = tmp_path / "processed"
+    r = run_cli(
+        "create_urmp_dataset.py",
+        "--data-directory", str(tmp_path / "urmp"),
+        "--output-directory", str(out),
+        "--instruments", "vn,vc",
+        "--f0-extractor", "yin",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    for ins in ("vn", "vc"):
+        n = sum(
+            len(os.listdir(out / ins / s / "audio"))
+            for s in ("train", "val", "test")
+        )
+        assert n == 2, (ins, n)  # 9 s tone -> two 4 s windows
+
+    from neural_waveshaping_synthesis_tpu.data import URMPDataModule
+
+    dm = URMPDataModule(str(out), "vn", batch_size=1)
+    import jax
+
+    batch = next(iter(dm.train_batches(jax.random.PRNGKey(0))))
+    assert batch["audio"].shape[1] == 64000
+    assert 380 < float(batch["f0"].mean()) < 500  # vn tone at 440 Hz
