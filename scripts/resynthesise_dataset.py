@@ -17,6 +17,8 @@ from neural_waveshaping_synthesis_tpu.utils import write_wav
 
 @click.command()
 @click.option("--gin-file", multiple=True, default=("gin/models/newt.gin",))
+@click.option("--gin-binding", "-b", multiple=True,
+              help="Extra gin bindings applied after the files")
 @click.option("--dataset-path", required=True)
 @click.option("--instrument", default="", help="URMP instrument subdir (optional)")
 @click.option("--split", default="test")
@@ -27,7 +29,7 @@ from neural_waveshaping_synthesis_tpu.utils import write_wav
 @click.option("--use-fast-newt", is_flag=True,
               help="Swap the shaper bank for the baked lookup table")
 @click.option("--seed", default=0)
-def main(gin_file, dataset_path, instrument, split, checkpoint, output_path,
+def main(gin_file, gin_binding, dataset_path, instrument, split, checkpoint, output_path,
          batch_size, use_fast_newt, seed):
     import jax
     import jax.numpy as jnp
@@ -37,6 +39,8 @@ def main(gin_file, dataset_path, instrument, split, checkpoint, output_path,
 
     for f in gin_file:
         gin.parse_config_file(f)
+    for b in gin_binding:
+        gin.parse_config(b)
     gin.validate_config()
 
     model = NeuralWaveshaping()

@@ -24,6 +24,8 @@ BUFFER_SIZES = [256, 512, 1024, 2048, 4096, 8192, 16384, 32768]
 
 @click.command()
 @click.option("--gin-file", multiple=True, default=("gin/models/newt.gin",))
+@click.option("--gin-binding", "-b", multiple=True,
+              help="Extra gin bindings applied after the files")
 @click.option("--checkpoint", default="")
 @click.option("--iterations", default=100)
 @click.option("--warmup", default=10)
@@ -31,7 +33,7 @@ BUFFER_SIZES = [256, 512, 1024, 2048, 4096, 8192, 16384, 32768]
 @click.option("--streaming", is_flag=True)
 @click.option("--output-csv", default="buffer_times.csv")
 @click.option("--buffers", default=",".join(map(str, BUFFER_SIZES)))
-def main(gin_file, checkpoint, iterations, warmup, use_fast_newt, streaming,
+def main(gin_file, gin_binding, checkpoint, iterations, warmup, use_fast_newt, streaming,
          output_csv, buffers):
     import jax
     import jax.numpy as jnp
@@ -41,6 +43,8 @@ def main(gin_file, checkpoint, iterations, warmup, use_fast_newt, streaming,
 
     for f in gin_file:
         gin.parse_config_file(f)
+    for b in gin_binding:
+        gin.parse_config(b)
     gin.validate_config()
     model = NeuralWaveshaping()
 

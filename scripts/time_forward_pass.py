@@ -25,6 +25,8 @@ import scipy.stats
 
 @click.command()
 @click.option("--gin-file", multiple=True, default=("gin/models/newt.gin",))
+@click.option("--gin-binding", "-b", multiple=True,
+              help="Extra gin bindings applied after the files")
 @click.option("--checkpoint", default="", help="optional PL .ckpt or orbax dir")
 @click.option("--batch-size", default=1)
 @click.option("--length-in-seconds", default=4.0)
@@ -34,7 +36,7 @@ import scipy.stats
               help="queue all iterations, sync once (throughput mode)")
 @click.option("--profile-dir", default="",
               help="write a jax.profiler trace of the timed loop here")
-def main(gin_file, checkpoint, batch_size, length_in_seconds, iterations,
+def main(gin_file, gin_binding, checkpoint, batch_size, length_in_seconds, iterations,
          use_fast_newt, async_pipeline, profile_dir):
     import jax
     import jax.numpy as jnp
@@ -44,6 +46,8 @@ def main(gin_file, checkpoint, batch_size, length_in_seconds, iterations,
 
     for f in gin_file:
         gin.parse_config_file(f)
+    for b in gin_binding:
+        gin.parse_config(b)
     gin.validate_config()
     model = NeuralWaveshaping()
 
