@@ -291,37 +291,62 @@ class Trainer:
 
     # -- checkpointing -------------------------------------------------------
     def _ckpt_manager(self, directory: str):
+        """Two orbax managers implementing the reference's PL policy
+        (ModelCheckpoint(monitor="val/loss", save_top_k, save_last),
+        /root/reference/scripts/train.py): the top-level directory keeps
+        the ``keep_n_checkpoints`` best-on-val steps (what export/
+        resynthesis CLIs open), and ``<dir>/last`` keeps exactly the
+        newest step regardless of val loss — so a crash never loses more
+        than one val interval of progress. Orbax ignores the non-numeric
+        ``last`` subdir when scanning the top level for steps."""
         import orbax.checkpoint as ocp
 
-        options = ocp.CheckpointManagerOptions(
-            max_to_keep=self.cfg.keep_n_checkpoints,
-            best_fn=lambda m: m["val_loss"],
-            best_mode="min",
+        directory = os.path.abspath(directory)
+        best = ocp.CheckpointManager(
+            directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=self.cfg.keep_n_checkpoints,
+                best_fn=lambda m: m["val_loss"],
+                best_mode="min",
+            ),
         )
-        return ocp.CheckpointManager(os.path.abspath(directory), options=options)
+        last = ocp.CheckpointManager(
+            os.path.join(directory, "last"),
+            options=ocp.CheckpointManagerOptions(max_to_keep=1),
+        )
+        return best, last
 
     def save_checkpoint(self, manager, state: Dict, val_loss: float):
         import orbax.checkpoint as ocp
 
+        best, last = manager
         step = int(state["step"])
-        manager.save(
+        best.save(
             step,
             args=ocp.args.StandardSave(state),
             metrics={"val_loss": float(val_loss)},
         )
+        last.save(step, args=ocp.args.StandardSave(state))
 
     def restore_checkpoint(self, manager, state: Dict) -> Tuple[Dict, int]:
-        """Restore the latest checkpoint into the structure of ``state``."""
+        """Restore the newest checkpoint (across the best-on-val set and
+        the ``last`` save) into the structure of ``state``."""
         import orbax.checkpoint as ocp
 
-        latest = manager.latest_step()
-        if latest is None:
+        best, last = manager
+        candidates = [
+            (m.latest_step(), m)
+            for m in (best, last)
+            if m.latest_step() is not None
+        ]
+        if not candidates:
             return state, 0
+        latest, source = max(candidates, key=lambda c: c[0])
         abstract = jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(jnp.asarray(x).shape, jnp.asarray(x).dtype),
             state,
         )
-        restored = manager.restore(latest, args=ocp.args.StandardRestore(abstract))
+        restored = source.restore(latest, args=ocp.args.StandardRestore(abstract))
         return restored, latest
 
     # -- logging -------------------------------------------------------------
@@ -558,7 +583,8 @@ class Trainer:
             if step != last_val_step[0]:
                 run_val()
 
-        manager.wait_until_finished()
+        for m in manager:
+            m.wait_until_finished()
         return state
 
     def test(self, state: Dict, datamodule, key: Optional[jax.Array] = None) -> float:

@@ -256,6 +256,45 @@ def test_fit_and_resume(synthetic_dataset, tmp_path):
     test_loss = trainer2.test(state2, dm)
     assert np.isfinite(test_loss)
 
+    # the PL save_last contract: a `last/` save exists at the final step
+    assert os.path.isdir(os.path.join(ckpt_dir, "last"))
+
+
+def test_resume_prefers_last_over_stale_best(tmp_path):
+    """Crash-resume regression (the 120k run died with only a 27k-steps-
+    stale best checkpoint on disk): when val loss got WORSE after the
+    best save, `last/` holds a newer step than the best-on-val set, and
+    restore must pick the newest step — the reference's PL behavior of
+    resuming from last.ckpt, not best."""
+    from neural_waveshaping_synthesis_tpu.training import init_train_state
+
+    model = tiny_model()
+    cfg = TrainConfig(
+        max_steps=4, checkpoint_dir=str(tmp_path / "ck"), keep_n_checkpoints=1
+    )
+    trainer = Trainer(model, cfg)
+    manager = trainer._ckpt_manager(cfg.checkpoint_dir)
+
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0))
+    state["step"] = jnp.asarray(2, state["step"].dtype)
+    trainer.save_checkpoint(manager, state, val_loss=1.0)
+    state["step"] = jnp.asarray(4, state["step"].dtype)
+    trainer.save_checkpoint(manager, state, val_loss=2.0)  # worse: best stays at 2
+    for m in manager:
+        m.wait_until_finished()
+
+    best, last = manager
+    assert best.latest_step() == 2  # keep-1 best-on-val retained the better step
+    assert last.latest_step() == 4
+
+    # a fresh manager pair (new process) restores the newest step, 4
+    trainer2 = Trainer(model, cfg)
+    manager2 = trainer2._ckpt_manager(cfg.checkpoint_dir)
+    fresh = init_train_state(model, cfg, jax.random.PRNGKey(1))
+    restored, step = trainer2.restore_checkpoint(manager2, fresh)
+    assert step == 4
+    assert int(restored["step"]) == 4
+
 
 def test_dp_equivalence_realistic_scale_across_mesh_sizes(rng):
     """VERDICT r1 #6: the FULL-SIZE model at the reference's training
