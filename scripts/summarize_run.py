@@ -28,12 +28,32 @@ def main(log_dir, out, lr_decay, lr_decay_interval):
     shutil.copy(os.path.join(log_dir, "metrics.csv"),
                 os.path.join(out, "metrics.csv"))
 
-    train = df.dropna(subset=["train/loss"])
-    val = df.dropna(subset=["val/loss"])
+    # A resumed run APPENDS to metrics.csv, re-logging steps after the
+    # restored checkpoint. Each step-decrease marks a restart boundary;
+    # within each metric, later rows supersede earlier ones (they belong
+    # to the lineage that survived to the end of the file).
+    segment = (df["step"].diff() < 0).cumsum()
+    n_restarts = int(segment.iloc[-1]) if len(df) else 0
+
+    train = (
+        df.dropna(subset=["train/loss"])
+        .drop_duplicates("step", keep="last")
+        .sort_values("step")
+    )
+    val = (
+        df.dropna(subset=["val/loss"])
+        .drop_duplicates("step", keep="last")
+        .sort_values("step")
+    )
 
     lines = ["# Training run summary", ""]
     last = int(df["step"].max())
     lines.append(f"- steps logged: up to **{last}**")
+    if n_restarts:
+        lines.append(
+            f"- restarts (checkpoint resumes detected in the log): "
+            f"**{n_restarts}**"
+        )
 
     if len(train):
         rate = train["train/steps_per_sec"].dropna()
@@ -41,7 +61,9 @@ def main(log_dir, out, lr_decay, lr_decay_interval):
             f"- throughput: mean **{rate.mean():.2f} steps/s** "
             f"(p10 {rate.quantile(0.1):.2f}, p90 {rate.quantile(0.9):.2f})"
         )
-        span = train["time"].max() - train["time"].min()
+        # wall-clock excludes dead time between restarts: sum each
+        # contiguous segment's span rather than max-min over the file
+        span = df.groupby(segment)["time"].agg(lambda s: s.max() - s.min()).sum()
         lines.append(f"- wall-clock over logged span: **{span / 3600:.2f} h**")
         w = max(1, len(train) // 10)
         lines.append("")
