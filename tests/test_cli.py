@@ -284,3 +284,34 @@ def test_create_urmp_dataset_cli_end_to_end(tmp_path):
     batch = next(iter(dm.train_batches(jax.random.PRNGKey(0))))
     assert batch["audio"].shape[1] == 64000
     assert 380 < float(batch["f0"].mean()) < 500  # vn tone at 440 Hz
+
+
+def test_summarize_run_handles_resumed_log(tmp_path):
+    """A resume appends re-logged steps to metrics.csv; the summary must
+    dedup by step (last lineage wins), count the restart, and exclude
+    dead time between segments from the wall-clock figure."""
+    log_dir = tmp_path / "logs"
+    log_dir.mkdir()
+    rows = ["step,time,train/loss,train/lr,train/steps_per_sec,val/loss,test/loss,grad_norm"]
+    # segment 1: steps 100..400 over 30 s, then a crash and a 10-min gap
+    for i, step in enumerate([100, 200, 300, 400]):
+        rows.append(f"{step},{1000 + 10 * i},9.{step},0.001,7.4,,,")
+    rows.append("400,1031,,,,2.5,,")  # val row at step 400
+    # segment 2 (resumed from 200): re-logs 300..600 starting 600 s later
+    for i, step in enumerate([300, 400, 500, 600]):
+        rows.append(f"{step},{1650 + 10 * i},1.{step},0.001,7.4,,,")
+    rows.append("600,1681,,,,2.0,,")
+    (log_dir / "metrics.csv").write_text("\n".join(rows) + "\n")
+
+    out = tmp_path / "report"
+    r = run_cli("summarize_run.py", "--log-dir", str(log_dir), "--out", str(out))
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = (out / "run_summary.md").read_text()
+    assert "up to **600**" in report
+    assert "restarts" in report and "**1**" in report
+    # dedup: the re-logged step 300 must use the resumed lineage's loss
+    assert "1.300" in report.replace("1.3000", "1.300")
+    # wall-clock sums segment spans (30 s + 31 s), not the 10-min gap
+    assert "0.02 h" in report
+    # final val comes from the resumed lineage
+    assert "2.0000" in report
