@@ -320,13 +320,19 @@ class Trainer:
         import orbax.checkpoint as ocp
 
         best, last = manager
-        step = int(state["step"])
+        # Fetch once, write twice: handing both async managers the same
+        # device arrays makes them each issue device-to-host reads
+        # concurrently, which the tunneled runtime tolerates poorly (a
+        # TPU-RPC hang was observed at exactly such a dual-save; the
+        # state is ~1 MB, so one host copy is free).
+        host_state = jax.device_get(state)
+        step = int(host_state["step"])
         best.save(
             step,
-            args=ocp.args.StandardSave(state),
+            args=ocp.args.StandardSave(host_state),
             metrics={"val_loss": float(val_loss)},
         )
-        last.save(step, args=ocp.args.StandardSave(state))
+        last.save(step, args=ocp.args.StandardSave(host_state))
 
     def restore_checkpoint(self, manager, state: Dict) -> Tuple[Dict, int]:
         """Restore the newest checkpoint (across the best-on-val set and
