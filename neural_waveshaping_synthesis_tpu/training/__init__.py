@@ -12,6 +12,7 @@ from .trainer import (
     make_lr_schedule,
     make_optimizer,
     make_train_step,
+    select_eval_step,
     train_state_from_params,
 )
 from .logging import ConsoleLogger, CSVLogger, WandbLogger
@@ -29,6 +30,7 @@ __all__ = [
     "make_lr_schedule",
     "make_optimizer",
     "make_train_step",
+    "select_eval_step",
     "train_state_from_params",
     "ConsoleLogger",
     "CSVLogger",

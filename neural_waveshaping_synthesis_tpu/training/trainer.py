@@ -232,6 +232,28 @@ def make_eval_step(model: NeuralWaveshaping):
     return eval_step
 
 
+def select_eval_step(directory: str, step: Optional[int] = None):
+    """Open an orbax checkpoint directory for evaluation/export and pick
+    the step to load: an explicit ``step`` wins; otherwise the
+    best-on-val step recorded in the checkpoint metrics (the PL
+    convention of evaluating best.ckpt, not last — the manager's
+    ``latest_step`` is merely the highest-numbered retained save);
+    otherwise the latest step. Returns ``(manager, step)``."""
+    import orbax.checkpoint as ocp
+
+    mngr = ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(
+            best_fn=lambda m: m["val_loss"], best_mode="min"
+        ),
+    )
+    if step is None:
+        step = mngr.best_step()  # None when no metrics were recorded
+    if step is None:
+        step = mngr.latest_step()
+    return mngr, step
+
+
 class Trainer:
     """Host-side orchestration: jit-compile the steps onto a mesh, stream
     batches, checkpoint, log."""

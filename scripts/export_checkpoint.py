@@ -19,15 +19,18 @@ import click
                    "hyperparameters are embedded in the exported .ckpt")
 @click.option("--checkpoint", required=True, help="orbax checkpoint directory")
 @click.option("--output", required=True, help="output .ckpt path")
+@click.option("--step", default=None, type=int,
+              help="Checkpoint step to export (default: the best-on-val "
+                   "step, falling back to the latest)")
 @click.option("--stats-from", default="",
               help="dataset dir whose data_mean/std.npy to copy next to the ckpt")
-def main(gin_file, checkpoint, output, stats_from):
+def main(gin_file, checkpoint, output, step, stats_from):
     import jax
-    import orbax.checkpoint as ocp
 
     from neural_waveshaping_synthesis_tpu import minigin as gin
     from neural_waveshaping_synthesis_tpu.convert import save_reference_checkpoint
     from neural_waveshaping_synthesis_tpu.models import NeuralWaveshaping
+    from neural_waveshaping_synthesis_tpu.training import select_eval_step
 
     for f in gin_file:
         gin.parse_config_file(f)
@@ -42,8 +45,7 @@ def main(gin_file, checkpoint, output, stats_from):
         "lr_decay_interval": 10000,
     }
 
-    mngr = ocp.CheckpointManager(os.path.abspath(checkpoint))
-    step = mngr.latest_step()
+    mngr, step = select_eval_step(checkpoint, step)
     if step is None:
         raise click.ClickException(f"no checkpoints in {checkpoint}")
     restored = mngr.restore(step)

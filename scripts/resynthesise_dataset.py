@@ -28,9 +28,12 @@ from neural_waveshaping_synthesis_tpu.utils import write_wav
 @click.option("--batch-size", default=8)
 @click.option("--use-fast-newt", is_flag=True,
               help="Swap the shaper bank for the baked lookup table")
+@click.option("--step", default=None, type=int,
+              help="Checkpoint step to load (orbax dirs; default: the "
+                   "best-on-val step, falling back to the latest)")
 @click.option("--seed", default=0)
 def main(gin_file, gin_binding, dataset_path, instrument, split, checkpoint, output_path,
-         batch_size, use_fast_newt, seed):
+         batch_size, use_fast_newt, step, seed):
     import jax
     import jax.numpy as jnp
 
@@ -52,15 +55,14 @@ def main(gin_file, gin_binding, dataset_path, instrument, split, checkpoint, out
         params, _, _, _ = load_reference_checkpoint(checkpoint)
         params = jax.tree_util.tree_map(jnp.asarray, params)
     else:
-        import orbax.checkpoint as ocp
+        from neural_waveshaping_synthesis_tpu.training import select_eval_step
 
-        mngr = ocp.CheckpointManager(os.path.abspath(checkpoint))
-        step = mngr.latest_step()
+        mngr, step = select_eval_step(checkpoint, step)
         if step is None:
             raise click.ClickException(f"no checkpoints in {checkpoint}")
         restored = mngr.restore(step)
         params = jax.tree_util.tree_map(jnp.asarray, restored["params"])
-        print(f"[resynthesise] restored step {step}")
+        print(f"[resynthesise] restored step {step} (best-on-val unless --step given)")
 
     root = os.path.join(dataset_path, instrument) if instrument else dataset_path
     dataset = GeneralDataset(root, split)

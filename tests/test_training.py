@@ -296,6 +296,37 @@ def test_resume_prefers_last_over_stale_best(tmp_path):
     assert int(restored["step"]) == 4
 
 
+def test_select_eval_step_prefers_best_on_val(tmp_path):
+    """Eval/export CLIs must load the BEST-on-val step (PL convention of
+    evaluating best.ckpt), not the highest-numbered retained save —
+    with keep-2 rotation the latest retained step is usually the
+    second-best, which is what a naive latest_step() hands back (this
+    mislabeled a full training run's eval until caught)."""
+    from neural_waveshaping_synthesis_tpu.training import (
+        init_train_state,
+        select_eval_step,
+    )
+
+    model = tiny_model()
+    cfg = TrainConfig(
+        max_steps=4, checkpoint_dir=str(tmp_path / "ck"), keep_n_checkpoints=2
+    )
+    trainer = Trainer(model, cfg)
+    manager = trainer._ckpt_manager(cfg.checkpoint_dir)
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0))
+    state["step"] = jnp.asarray(2, state["step"].dtype)
+    trainer.save_checkpoint(manager, state, val_loss=1.0)
+    state["step"] = jnp.asarray(4, state["step"].dtype)
+    trainer.save_checkpoint(manager, state, val_loss=2.0)  # worse but newer
+    for m in manager:
+        m.wait_until_finished()
+
+    _, step = select_eval_step(cfg.checkpoint_dir)
+    assert step == 2  # best-on-val, not latest
+    _, step = select_eval_step(cfg.checkpoint_dir, 4)
+    assert step == 4  # explicit step wins
+
+
 def test_dp_equivalence_realistic_scale_across_mesh_sizes(rng):
     """VERDICT r1 #6: the FULL-SIZE model at the reference's training
     shapes (batch 8 x 500 control frames = 4 s clips) must produce the
