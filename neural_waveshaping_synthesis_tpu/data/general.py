@@ -34,10 +34,15 @@ class GeneralDataset:
     dense arrays; item access and batch slicing are O(1) views.
     """
 
-    def __init__(self, path: str, split: str = "train", load_to_memory: bool = True):
+    def __init__(self, path: str, split: str = "train", load_to_memory: bool = True,
+                 dtype=np.float32):
         self.path = path
         self.split = split
         self.load_to_memory = load_to_memory
+        # storage contract is float32; dtype=np.float64 exists for the
+        # fit-level mesh-equivalence tests, where f32 batch data would
+        # reintroduce sharding-dependent f32 reassociation noise
+        self.dtype = np.dtype(dtype)
         self._split_path = os.path.join(path, split)
         audio_dir = os.path.join(self._split_path, "audio")
         self.names = sorted(
@@ -46,9 +51,9 @@ class GeneralDataset:
             if f.endswith(".npy") and f.startswith("audio_")
         )
         self.data_mean = np.load(os.path.join(path, "data_mean.npy")).astype(
-            np.float32
+            self.dtype
         )  # (C, 1)
-        self.data_std = np.load(os.path.join(path, "data_std.npy")).astype(np.float32)
+        self.data_std = np.load(os.path.join(path, "data_std.npy")).astype(self.dtype)
 
         # load_to_memory=False (reference data/general.py:13) keeps shards
         # on disk and loads per batch — for corpora that outgrow host RAM.
@@ -74,12 +79,12 @@ class GeneralDataset:
                 )
             )
         if audio_list:
-            audio = np.stack(audio_list).astype(np.float32)  # (N, Ta)
+            audio = np.stack(audio_list).astype(self.dtype)  # (N, Ta)
             # stored channel-first (C, Tc) -> channels-last (N, Tc, C)
-            control = np.stack(control_list).astype(np.float32).transpose(0, 2, 1)
+            control = np.stack(control_list).astype(self.dtype).transpose(0, 2, 1)
         else:
-            audio = np.zeros((0, 0), np.float32)
-            control = np.zeros((0, 0, 0), np.float32)
+            audio = np.zeros((0, 0), self.dtype)
+            control = np.zeros((0, 0, 0), self.dtype)
         return audio, control
 
     def __len__(self) -> int:
@@ -133,16 +138,18 @@ class GeneralDataModule:
         data_root: str,
         batch_size: int = 16,
         load_to_memory: bool = True,
+        dtype=np.float32,
     ):
         self.data_root = data_root
         self.batch_size = batch_size
         self.load_to_memory = load_to_memory
+        self.dtype = dtype
         self._splits: Dict[str, GeneralDataset] = {}
 
     def dataset(self, split: str) -> GeneralDataset:
         if split not in self._splits:
             self._splits[split] = GeneralDataset(
-                self.data_root, split, self.load_to_memory
+                self.data_root, split, self.load_to_memory, dtype=self.dtype
             )
         return self._splits[split]
 

@@ -23,7 +23,15 @@ class URMPDataModule(GeneralDataModule):
         batch_size: int = 16,
         load_to_memory: bool = True,
     ):
+        # keywords, not positions: GeneralDataModule is itself gin-
+        # configurable, so a `GeneralDataModule.batch_size` binding
+        # arrives as a merged kwarg — a positional batch_size here then
+        # collides with it (TypeError: multiple values). Explicit
+        # kwargs take precedence over bindings (minigin._merge_bindings),
+        # which is the gin semantics we want: the URMP-level value wins.
         super().__init__(
-            os.path.join(urmp_root, instrument), batch_size, load_to_memory
+            os.path.join(urmp_root, instrument),
+            batch_size=batch_size,
+            load_to_memory=load_to_memory,
         )
         self.instrument = instrument

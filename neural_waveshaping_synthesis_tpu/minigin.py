@@ -223,6 +223,13 @@ def validate_config(strict: bool = False) -> List[str]:
       * bindings naming a parameter the configurable doesn't accept
         (skipped for **kwargs signatures).
 
+    ORDERING CONTRACT: registration happens at import time, so this
+    must run AFTER every module that registers a bound configurable is
+    imported — validating too early flags valid bindings as unknown
+    (warnings in default mode, spurious ConfigError in strict). CLIs
+    should import their model/training modules first, the way
+    scripts/time_train_step.py does.
+
     Returns the list of problem descriptions; prints each as a warning,
     and raises ConfigError instead when ``strict``.
     """

@@ -304,8 +304,48 @@ def convert_torchcrepe_state_dict(sd) -> Dict:
     return {"layers": layers, "classifier": classifier}
 
 
+def save_params_npz(params: Dict, path: str) -> None:
+    """Cache a converted CREPE parameter pytree as a flat .npz (no torch
+    needed to reload; see scripts/convert_crepe.py)."""
+    import numpy as _np
+
+    flat = {}
+    for i, layer in enumerate(params["layers"]):
+        for k, v in layer.items():
+            flat[f"layers/{i}/{k}"] = _np.asarray(v)
+    for k, v in params["classifier"].items():
+        flat[f"classifier/{k}"] = _np.asarray(v)
+    _np.savez(path, **flat)
+
+
+def load_params_npz(path: str) -> Dict:
+    """Load a pytree cached by :func:`save_params_npz`."""
+    import numpy as _np
+
+    with _np.load(path) as z:
+        n_layers = 1 + max(
+            int(k.split("/")[1]) for k in z.files if k.startswith("layers/")
+        )
+        layers = [
+            {
+                k.split("/")[2]: z[k]
+                for k in z.files
+                if k.startswith(f"layers/{i}/")
+            }
+            for i in range(n_layers)
+        ]
+        classifier = {
+            k.split("/")[1]: z[k] for k in z.files if k.startswith("classifier/")
+        }
+    return {"layers": layers, "classifier": classifier}
+
+
 def load_torchcrepe_weights(path: str) -> Dict:
-    """Load + convert a torchcrepe ``full.pth`` / ``tiny.pth`` file."""
+    """Load CREPE weights: a torchcrepe ``full.pth`` / ``tiny.pth``
+    state dict (converted on the fly) or an ``.npz`` pytree cached by
+    ``scripts/convert_crepe.py`` (no torch dependency at load time)."""
+    if path.endswith(".npz"):
+        return load_params_npz(path)
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)

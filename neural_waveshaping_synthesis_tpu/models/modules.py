@@ -48,15 +48,27 @@ def dense_init(key, in_size: int, out_size: int) -> Params:
     }
 
 
+def _acc_dtype(*args) -> jnp.dtype:
+    """Accumulation dtype for MXU dots: at least float32 (the bf16
+    mixed-precision contract), but promoted to float64 when any operand
+    is f64 — pinning f32 there would re-round f64 math, and the dot
+    TRANSPOSE (the weight gradient) contracts over the data-parallel
+    batch axis, so f32 partial sums there are reassociated differently
+    per mesh size (measured ~1e-6 normalized grad drift that breaks
+    fit-level f64 mesh-equivalence)."""
+    return jnp.promote_types(jnp.result_type(*(a.dtype for a in args)), jnp.float32)
+
+
 def dense_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """(..., in) -> (..., out); the MXU workhorse.
 
-    Mixed precision contract: the dot always accumulates in float32
-    (preferred_element_type); the OUTPUT follows the input dtype, so a
-    bfloat16 activation stream stays bfloat16 through dense layers
-    instead of being silently promoted (which would re-materialize
-    full-width activations and erase the HBM savings)."""
-    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32) + p["b"]
+    Mixed precision contract: the dot accumulates in at least float32
+    (preferred_element_type via _acc_dtype; f64 operands accumulate in
+    f64); the OUTPUT follows the input dtype, so a bfloat16 activation
+    stream stays bfloat16 through dense layers instead of being
+    silently promoted (which would re-materialize full-width
+    activations and erase the HBM savings)."""
+    y = jnp.dot(x, p["w"], preferred_element_type=_acc_dtype(x, p["w"])) + p["b"]
     return y if x.dtype == jnp.float32 else y.astype(x.dtype)
 
 
@@ -234,8 +246,8 @@ def gru_step(
 ) -> jnp.ndarray:
     """One torch-semantics GRU step. x (B, in), h (B, H) -> h' (B, H)."""
     hidden = h.shape[-1]
-    gi = jnp.dot(x, p["w_ih"], preferred_element_type=jnp.float32) + p["b_ih"]
-    gh = jnp.dot(h, p["w_hh"], preferred_element_type=jnp.float32) + p["b_hh"]
+    gi = jnp.dot(x, p["w_ih"], preferred_element_type=_acc_dtype(x, p["w_ih"])) + p["b_ih"]
+    gh = jnp.dot(h, p["w_hh"], preferred_element_type=_acc_dtype(h, p["w_hh"])) + p["b_hh"]
     i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
     h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
     r = jax.nn.sigmoid(i_r + h_r)
@@ -256,13 +268,19 @@ def gru_apply(
     hidden = p["w_hh"].shape[0]
     b = x.shape[0]
     if h0 is None:
-        h0 = jnp.zeros((b, hidden), dtype=x.dtype)
+        # carry dtype must match the gate-compute result (x (.) params
+        # promotion), not the input: with f64 params and f32 control
+        # input (the x64 equivalence tests) an x-dtyped carry breaks the
+        # scan; bf16-in/bf16-params still yields a bf16 carry.
+        h0 = jnp.zeros(
+            (b, hidden), dtype=jnp.result_type(x.dtype, p["w_hh"].dtype)
+        )
 
     # Hoist the input projection: (B, T, in) x (in, 3H) once on the MXU.
-    gi_all = jnp.dot(x, p["w_ih"], preferred_element_type=jnp.float32) + p["b_ih"]
+    gi_all = jnp.dot(x, p["w_ih"], preferred_element_type=_acc_dtype(x, p["w_ih"])) + p["b_ih"]
 
     def step(h, gi):
-        gh = jnp.dot(h, p["w_hh"], preferred_element_type=jnp.float32) + p["b_hh"]
+        gh = jnp.dot(h, p["w_hh"], preferred_element_type=_acc_dtype(h, p["w_hh"])) + p["b_hh"]
         i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
         h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
         r = jax.nn.sigmoid(i_r + h_r)

@@ -161,6 +161,10 @@ def pyin_f0(
       glissando        one octave over 3 s: median 0.28 cents
       voicing          unvoiced (noise, silence) confidence ~0.14 vs
                        >=0.76 voiced — a 0.5 gate separates cleanly
+      subharmonics     440 Hz + 220 Hz subharmonic: ONE coherent octave
+                       for the whole clip (0.000 octave-hop fraction);
+                       decodes 440 at subharmonic amplitude <=0.08x,
+                       locks to the true 220 period at 0.15x
     """
     import numpy as _np
     from jax.scipy.special import betainc

@@ -168,7 +168,19 @@ def make_time_sharded_renderer(model, mesh):
 
         # -- replicated control-rate stack (identical to model.apply) ----
         embedding, _ = model.get_embedding(params, control)
-        film = model.newt.film_params(params["newt"], embedding)  # (B,Tc,4C)
+        if compute_dtype != jnp.float32:
+            # model.apply casts ALL of p["newt"] + the embedding to the
+            # compute dtype before newt.apply, so the FiLM MLP runs in
+            # bf16 there — mirror that here or bf16 sharded/unsharded
+            # renders diverge beyond reassociation noise
+            film = model.newt.film_params(
+                jax.tree_util.tree_map(
+                    lambda x: x.astype(compute_dtype), params["newt"]
+                ),
+                embedding.astype(compute_dtype),
+            )  # (B,Tc,4C) in compute_dtype
+        else:
+            film = model.newt.film_params(params["newt"], embedding)  # (B,Tc,4C)
         h = model.noise_mlp.apply(params["h_generator"], embedding)
         noise_audio = model.noise_synth.apply(h, key=k_noise, noise=noise)
 

@@ -79,3 +79,24 @@ class WandbLogger:
             },
             step=step,
         )
+
+    def log_params(self, params: Dict, step: int):
+        """Parameter histograms + norms, the reference's
+        ``logger.watch(model, log="parameters")`` (reference
+        scripts/train.py:62-66). torch hooks don't exist for a JAX
+        pytree, so the trainer calls this at every val interval with
+        host-side arrays instead; wandb renders the same per-tensor
+        histogram panels."""
+        import jax
+
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        payload, sq_sum = {}, 0.0
+        for path, leaf in flat:
+            arr = np.asarray(leaf)
+            name = "/".join(
+                str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+            )
+            payload[f"parameters/{name}"] = self._wandb.Histogram(arr.ravel())
+            sq_sum += float(np.sum(arr.astype(np.float64) ** 2))
+        payload["parameters/global_norm"] = float(np.sqrt(sq_sum))
+        self._wandb.log(payload, step=step)

@@ -91,8 +91,10 @@ def init_train_state(
         # running loss sum, accumulated ON DEVICE: per-buffer host
         # operations cost ~100s of ms on tunneled TPU runtimes, so the
         # trainer reads one scalar per log window and differences it
-        # instead of holding per-step loss scalars.
-        "loss_sum": jnp.zeros((), jnp.float32),
+        # instead of holding per-step loss scalars. Default float dtype
+        # (not pinned f32) so x64 equivalence tests keep a uniform
+        # scan carry when the loss computes in f64.
+        "loss_sum": jnp.zeros(()),
     }
 
 
@@ -102,7 +104,7 @@ def train_state_from_params(params: Dict, cfg: TrainConfig) -> Dict:
         "params": params,
         "opt_state": make_optimizer(cfg).init(params),
         "step": jnp.zeros((), jnp.int32),
-        "loss_sum": jnp.zeros((), jnp.float32),
+        "loss_sum": jnp.zeros(()),
     }
 
 
@@ -387,6 +389,19 @@ class Trainer:
             if hasattr(logger, "log_audio"):
                 logger.log_audio(name, audio, int(self.model.sample_rate), step)
 
+    def _log_params(self, params: Dict, step: int):
+        """Reference's ``logger.watch(model, log="parameters")``: hand
+        loggers that support it (WandbLogger) host-side parameter arrays
+        once per val interval. ONE device_get, then host consumers only
+        (concurrent device reads hang the tunneled runtime — CLAUDE.md
+        rule 12)."""
+        watchers = [l for l in self.loggers if hasattr(l, "log_params")]
+        if not watchers:
+            return
+        host_params = jax.device_get(params)
+        for logger in watchers:
+            logger.log_params(host_params, step)
+
     # -- loops ---------------------------------------------------------------
     def evaluate(
         self,
@@ -499,6 +514,7 @@ class Trainer:
                 log_audio_step=step,
             )
             self._log({"val/loss": val_loss}, step)
+            self._log_params(state["params"], step)
             self.save_checkpoint(manager, state, val_loss)
 
         if device_data is not None:
@@ -591,11 +607,18 @@ class Trainer:
                     account(float(np.asarray(metrics["loss"])), 1)
 
             done = False
+            epoch = 0
             while not done and step < cfg.max_steps:
                 done = True
-                for batch in datamodule.train_batches(
-                    jax.random.fold_in(data_key, step)
-                ):
+                # fold in the EPOCH counter, not just the step: with an
+                # epoch shorter than one chunk, step doesn't advance
+                # between epochs and a step-only key would replay the
+                # identical permutation until a chunk finally executes
+                epoch_key = jax.random.fold_in(
+                    jax.random.fold_in(data_key, step), epoch
+                )
+                epoch += 1
+                for batch in datamodule.train_batches(epoch_key):
                     done = False
                     if step >= cfg.max_steps:
                         break

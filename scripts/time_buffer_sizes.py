@@ -22,6 +22,12 @@ import pandas as pd
 BUFFER_SIZES = [256, 512, 1024, 2048, 4096, 8192, 16384, 32768]
 
 
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 @click.command()
 @click.option("--gin-file", multiple=True, default=("gin/models/newt.gin",))
 @click.option("--gin-binding", "-b", multiple=True,
@@ -31,10 +37,14 @@ BUFFER_SIZES = [256, 512, 1024, 2048, 4096, 8192, 16384, 32768]
 @click.option("--warmup", default=10)
 @click.option("--use-fast-newt", is_flag=True)
 @click.option("--streaming", is_flag=True)
+@click.option("--pipeline-depth", default="4,16",
+              help="Comma list of in-flight-buffer depths for the "
+                   "pipelined-cadence measurement (--streaming only; "
+                   "'0' disables it)")
 @click.option("--output-csv", default="buffer_times.csv")
 @click.option("--buffers", default=",".join(map(str, BUFFER_SIZES)))
 def main(gin_file, gin_binding, checkpoint, iterations, warmup, use_fast_newt, streaming,
-         output_csv, buffers):
+         pipeline_depth, output_csv, buffers):
     import jax
     import jax.numpy as jnp
 
@@ -103,24 +113,72 @@ def main(gin_file, gin_binding, checkpoint, iterations, warmup, use_fast_newt, s
                 np.asarray(audio)
                 times.append(time.perf_counter() - t0)
 
-            # device-only step time: N steps inside one compiled scan
-            # (separates chip latency from the host round-trip, which on
-            # tunneled runtimes is a flat ~tens-of-ms floor)
-            n_scan = 50
+            # device-only step time, DIFFERENTIAL: time a 100-step and a
+            # 600-step compiled scan and divide the difference by 500.
+            # Each scan fetch includes one host round-trip, but the RTT
+            # is additive and identical in expectation, so differencing
+            # cancels it — a single-scan measurement is RTT-noise-bound
+            # (~±10 ms on this tunnel ⇒ ±0.05 ms/step even at n=200,
+            # and the former RTT/n_scan bias inflated 0.10 ms to 0.72).
+            def make_scan(n):
+                @jax.jit
+                def scan_steps(p, s0, f, c, spec):
+                    def body(s, _):
+                        a, s2 = synth.step(p, s, f, c, spec)
+                        return s2, a[0, 0]
+                    s_final, outs = jax.lax.scan(body, s0, None, length=n)
+                    return outs.sum()
+                return scan_steps
 
-            @jax.jit
-            def scan_steps(p, s0, f, c, spec):
-                def body(s, _):
-                    a, s2 = synth.step(p, s, f, c, spec)
-                    return s2, a[0, 0]
-                s_final, outs = jax.lax.scan(body, s0, None, length=n_scan)
-                return outs.sum()
+            s_small, s_big = make_scan(100), make_scan(600)
+            float(s_small(params, state, f0, control, ir_spectra))  # compile
+            float(s_big(params, state, f0, control, ir_spectra))
+            diffs = []
+            for _ in range(3):
+                t_s = _timed(lambda: float(
+                    s_small(params, state, f0, control, ir_spectra)))
+                t_b = _timed(lambda: float(
+                    s_big(params, state, f0, control, ir_spectra)))
+                diffs.append((t_b - t_s) / 500 * 1000)
+            dev_ms = float(np.median(diffs))
+            print(f"               device-only step: {dev_ms:7.3f} ms "
+                  f"(differential 600-100 scan, 3 reps)")
 
-            float(scan_steps(params, state, f0, control, ir_spectra))
-            t0 = time.perf_counter()
-            float(scan_steps(params, state, f0, control, ir_spectra))
-            dev_ms = (time.perf_counter() - t0) / n_scan * 1000
-            print(f"               device-only step: {dev_ms:7.3f} ms")
+            # pipelined cadence: dispatch buffer k+depth before fetching
+            # buffer k (streaming/pipeline.py), overlapping the flat
+            # tunnel RTT across in-flight buffers. Cadence = spacing of
+            # consecutive buffer arrivals on the host; the cost is
+            # `depth` buffers of output latency, reported via the
+            # first-buffer-latency column.
+            pipe_rows = []
+            for depth in [int(d) for d in str(pipeline_depth).split(",") if int(d) > 0]:
+                from neural_waveshaping_synthesis_tpu.streaming import (
+                    PipelinedStreamer,
+                )
+
+                streamer = PipelinedStreamer(
+                    synth, params, 1, jax.random.PRNGKey(0),
+                    depth=depth, jit_step=step,
+                )
+                t0 = time.perf_counter()
+                for _ in range(depth + 1):
+                    streamer.push(f0, control)  # last one returns buffer 0
+                first_lat_ms = (time.perf_counter() - t0) * 1000
+                for _ in range(warmup):
+                    streamer.push(f0, control)
+                pops = []
+                for _ in range(max(iterations, 200)):
+                    streamer.push(f0, control)
+                    pops.append(time.perf_counter())
+                cad = np.diff(np.asarray(pops)) * 1000
+                pipe_rows.append(
+                    (depth, np.percentile(cad, 50), np.percentile(cad, 95),
+                     first_lat_ms)
+                )
+                print(f"               pipelined cadence (depth {depth}): "
+                      f"p50 {pipe_rows[-1][1]:7.3f} ms  "
+                      f"p95 {pipe_rows[-1][2]:7.3f} ms  "
+                      f"first-buffer latency {first_lat_ms:7.3f} ms")
         else:
             fwd = jax.jit(
                 lambda p, f, c, k: model.apply(p, f, c, key=k, lookup_table=table)
@@ -152,18 +210,26 @@ def main(gin_file, gin_binding, checkpoint, iterations, warmup, use_fast_newt, s
         if streaming:
             # latency decomposition: the scan-measured device step is the
             # on-chip cost; everything above it in the per-call totals is
-            # host round-trip (dispatch + fetch through the tunnel)
-            summary_rows.append(
-                {
-                    "model": model_name, "device": device,
-                    "buffer_size": buffer_size,
-                    "p50_ms": p50, "p95_ms": p95,
-                    "device_step_ms": dev_ms,
-                    "host_rtt_p50_ms": max(p50 - dev_ms, 0.0),
-                    "host_rtt_p95_ms": max(p95 - dev_ms, 0.0),
-                    "budget_ms": budget * 1000,
-                }
-            )
+            # host round-trip (dispatch + fetch through the tunnel).
+            # One row per pipeline depth (serial columns repeat).
+            for depth, pipe_p50, pipe_p95, first_lat_ms in (
+                pipe_rows or [(0, float("nan"), float("nan"), float("nan"))]
+            ):
+                summary_rows.append(
+                    {
+                        "model": model_name, "device": device,
+                        "buffer_size": buffer_size,
+                        "p50_ms": p50, "p95_ms": p95,
+                        "device_step_ms": dev_ms,
+                        "host_rtt_p50_ms": max(p50 - dev_ms, 0.0),
+                        "host_rtt_p95_ms": max(p95 - dev_ms, 0.0),
+                        "pipeline_depth": depth,
+                        "pipelined_cadence_p50_ms": pipe_p50,
+                        "pipelined_cadence_p95_ms": pipe_p95,
+                        "first_buffer_latency_ms": first_lat_ms,
+                        "budget_ms": budget * 1000,
+                    }
+                )
 
     pd.DataFrame(rows).to_csv(output_csv, index=False)
     print(f"wrote {output_csv}")

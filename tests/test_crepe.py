@@ -283,6 +283,50 @@ def test_predict_matches_oracle_tiny_long(rng):
     np.testing.assert_allclose(conf, conf_ref, rtol=1e-3, atol=1e-5)
 
 
+def test_npz_cache_roundtrip(rng, tmp_path):
+    """save_params_npz/load_params_npz preserve the converted pytree
+    exactly, and load_torchcrepe_weights dispatches on the .npz
+    extension (the cache written by scripts/convert_crepe.py)."""
+    sd = _make_torch_tiny_state(rng)
+    params = crepe.convert_torchcrepe_state_dict(sd)
+    path = str(tmp_path / "tiny.jax.npz")
+    crepe.save_params_npz(params, path)
+    loaded = crepe.load_torchcrepe_weights(path)
+
+    assert len(loaded["layers"]) == len(params["layers"])
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(loaded)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_convert_crepe_cli(rng, tmp_path):
+    """scripts/convert_crepe.py converts a .pth to a loadable .npz cache
+    (--skip-check: random weights can't pass the A4 pitch gate)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sd = _make_torch_tiny_state(rng)
+    pth = str(tmp_path / "tiny.pth")
+    torch.save(sd, pth)
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "scripts", "convert_crepe.py"),
+            "--weights", pth, "--capacity", "tiny", "--skip-check",
+        ],
+        capture_output=True, text=True, timeout=600, cwd=repo,
+        env=dict(os.environ, NWS_TPU_PLATFORM="cpu"),
+    )
+    assert r.returncode == 0, r.stderr
+    assert "CREPE_WEIGHTS=" in r.stdout
+    cached = str(tmp_path / "tiny.jax.npz")
+    assert os.path.exists(cached)
+    loaded = crepe.load_torchcrepe_weights(cached)
+    assert len(loaded["layers"]) == 6
+
+
 # ---------------------------------------------------------------------------
 # pretrained-weights integration (activates when a torchcrepe .pth exists)
 # ---------------------------------------------------------------------------

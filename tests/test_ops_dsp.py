@@ -138,6 +138,126 @@ def test_mfcc_shape(rng):
     assert np.isfinite(coeffs).all()
 
 
+def _torch_magnitude_stft(audio, n_fft, hop):
+    """Centered reflect-padded periodic-hann STFT magnitude via stock
+    torch, shaped (bins, frames) — the librosa.stft front half of both
+    extractors (reference data/utils/loudness_extraction.py:22-30,
+    mfcc_extraction.py:6-13)."""
+    X = torch.stft(
+        torch.tensor(audio), n_fft, hop_length=hop,
+        window=torch.hann_window(n_fft, periodic=True),
+        center=True, pad_mode="reflect", return_complex=True,
+    )
+    return X.abs().numpy().astype(np.float64)
+
+
+def test_loudness_full_chain_matches_oracle(rng):
+    """End-to-end extract_perceptual_loudness vs an independent
+    torch-STFT + explicit-formula rebuild of the reference chain:
+    |STFT| -> power dB ref=max top_db=80 -> mean over bins -> (x+80)/80
+    (reference data/utils/loudness_extraction.py:11-45, A-weighting
+    computed but unapplied)."""
+    sr, n_fft, hop = 16000, 1024, 128
+    t = np.arange(sr) / sr
+    audio = (
+        0.3 * np.sin(2 * np.pi * 220.0 * t)
+        + 0.05 * rng.standard_normal(sr)
+    ).astype(np.float32)
+
+    ours = np.asarray(extract_perceptual_loudness(jnp.asarray(audio)))
+
+    S = _torch_magnitude_stft(audio, n_fft, hop)  # (bins, frames)
+    amin = 1e-5
+    power = np.maximum(S, 0.0) ** 2
+    db = 10.0 * np.log10(np.maximum(power, amin**2))
+    db -= 10.0 * np.log10(max(power.max(), amin**2))
+    db = np.maximum(db, db.max() - 80.0)
+    expected = (db.mean(axis=0) + 80.0) / 80.0
+
+    assert ours.shape == expected.shape
+    np.testing.assert_allclose(ours, expected, rtol=1e-4, atol=2e-4)
+
+
+def test_loudness_a_weighted_full_chain_matches_oracle(rng):
+    """The apply_a_weighting=True variant (the reference's commented-out
+    `+ weights`, loudness_extraction.py:38) vs the same oracle with the
+    IEC 61672 curve added per-bin before the mean."""
+    sr, n_fft, hop = 16000, 1024, 128
+    audio = (0.2 * rng.standard_normal(8000)).astype(np.float32)
+
+    ours = np.asarray(
+        extract_perceptual_loudness(jnp.asarray(audio), apply_a_weighting=True)
+    )
+
+    S = _torch_magnitude_stft(audio, n_fft, hop)
+    amin = 1e-5
+    power = np.maximum(S, 0.0) ** 2
+    db = 10.0 * np.log10(np.maximum(power, amin**2))
+    db -= 10.0 * np.log10(max(power.max(), amin**2))
+    db = np.maximum(db, db.max() - 80.0)
+    f2 = np.linspace(0.0, sr / 2.0, 1 + n_fft // 2) ** 2
+    ra = (
+        12194.217**2 * f2**2
+        / (
+            (f2 + 20.598997**2)
+            * np.sqrt((f2 + 107.65265**2) * (f2 + 737.86223**2))
+            * (f2 + 12194.217**2)
+        )
+    )
+    with np.errstate(divide="ignore"):
+        weights = np.maximum(2.0 + 20.0 * np.log10(np.maximum(ra, 1e-50)), -80.0)
+    expected = ((db + weights[:, None]).mean(axis=0) + 80.0) / 80.0
+
+    np.testing.assert_allclose(ours, expected, rtol=1e-4, atol=2e-4)
+
+
+def test_mfcc_full_chain_matches_oracle(rng):
+    """End-to-end mfcc vs an independent rebuild: torch power STFT ->
+    per-band triangle Slaney mel filterbank (scalar-style construction)
+    -> power_to_db -> scipy ortho DCT-II, first n_mfcc rows (reference
+    data/utils/mfcc_extraction.py:6-13: librosa.feature.mfcc defaults,
+    n_mels=128, htk=False, norm='slaney', dct type-2 ortho)."""
+    import scipy.fft
+
+    sr, n_fft, hop, n_mfcc, n_mels = 16000, 1024, 128, 16, 128
+    t = np.arange(sr) / sr
+    audio = (
+        0.4 * np.sin(2 * np.pi * 330.0 * t)
+        + 0.2 * np.sin(2 * np.pi * 990.0 * t)
+        + 0.02 * rng.standard_normal(sr)
+    ).astype(np.float32)
+
+    ours = np.asarray(mfcc(jnp.asarray(audio)))
+
+    # Slaney hz<->mel as scalar piecewise functions (independent of the
+    # vectorized ramps construction in ops/mel.py)
+    lin_slope, brk_hz, brk_mel = 200.0 / 3.0, 1000.0, 15.0
+    logstep = np.log(6.4) / 27.0
+
+    def hz2mel(f):
+        return f / lin_slope if f < brk_hz else brk_mel + np.log(f / brk_hz) / logstep
+
+    def mel2hz(m):
+        return m * lin_slope if m < brk_mel else brk_hz * np.exp(logstep * (m - brk_mel))
+
+    pts = [mel2hz(m) for m in np.linspace(hz2mel(0.0), hz2mel(sr / 2.0), n_mels + 2)]
+    freqs = np.linspace(0.0, sr / 2.0, 1 + n_fft // 2)
+    fb = np.zeros((n_mels, len(freqs)))
+    for i in range(n_mels):
+        lo, ctr, hi = pts[i], pts[i + 1], pts[i + 2]
+        tri = np.minimum((freqs - lo) / (ctr - lo), (hi - freqs) / (hi - ctr))
+        fb[i] = np.maximum(0.0, tri) * 2.0 / (hi - lo)
+
+    S = _torch_magnitude_stft(audio, n_fft, hop)  # (bins, frames)
+    mel_power = fb @ (S**2)
+    mel_db = 10.0 * np.log10(np.maximum(mel_power, 1e-10))
+    mel_db = np.maximum(mel_db, mel_db.max() - 80.0)
+    expected = scipy.fft.dct(mel_db, type=2, axis=0, norm="ortho")[:n_mfcc]
+
+    assert ours.shape == expected.shape
+    np.testing.assert_allclose(ours, expected, rtol=1e-3, atol=5e-3)
+
+
 def test_resample_preserves_tone():
     sr_in, sr_out = 48000, 16000
     t = np.arange(sr_in) / sr_in

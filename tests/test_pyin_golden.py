@@ -93,6 +93,72 @@ def test_glissando_no_lag():
     assert np.median(e) < 2.0
 
 
+@pytest.mark.parametrize(
+    "sub_amp,expected_hz",
+    [
+        (0.04, 440.0),  # weak subharmonic: stay on the dominant octave
+        (0.15, 220.0),  # strong subharmonic: signal is truly 220-periodic
+    ],
+)
+def test_subharmonic_octave_stability(sub_amp, expected_hz):
+    """Octave-error fixture: 440 Hz tone + a 220 Hz subharmonic. The
+    classic YIN failure is per-frame octave hopping between the two
+    candidate lags; pYIN's threshold marginalization + HMM must decode
+    ONE coherent octave for the whole clip (measured: 0.000 hop
+    fraction at both amplitudes; 100% of frames within 10 Hz of the
+    decoded octave — 440 at amp 0.04/0.08, 220 at 0.15 where the true
+    period is 1/220)."""
+    x = 0.4 * np.sin(2 * np.pi * 440 * _t) + sub_amp * np.sin(2 * np.pi * 220 * _t)
+    f0, conf = _track(x)
+    mid = f0[5:-5]
+    # no octave hopping anywhere (>0.4 octave frame-to-frame jump)
+    hops = np.abs(np.diff(np.log2(mid))) > 0.4
+    assert hops.mean() == 0.0
+    assert (np.abs(mid - expected_hz) < 10.0).mean() > 0.98
+    assert conf[5:-5].mean() > 0.85
+
+
+def test_extract_f0_with_pyin_fill_na_contract():
+    """The full gin surface of extract_f0_with_pyin
+    (data/preprocess/f0_extraction.py): with fill_na set, frames whose
+    confidence < voicing_threshold are replaced by the fill value and
+    voiced frames are preserved untouched; with fill_na=None (default)
+    the raw track is returned. Fixture: 1.5 s of 330 Hz tone, then
+    1.5 s of near-silence (a voiced/unvoiced boundary).
+    Reference contract: librosa.pyin fill_na (reference
+    data/utils/f0_extraction.py:60-92)."""
+    from neural_waveshaping_synthesis_tpu.data.preprocess.f0_extraction import (
+        extract_f0_with_pyin,
+    )
+
+    rng = np.random.default_rng(3)
+    x = np.where(
+        _t < 1.5,
+        0.4 * np.sin(2 * np.pi * 330 * _t),
+        1e-5 * rng.standard_normal(T),
+    ).astype(np.float32)
+
+    raw_f0, conf = extract_f0_with_pyin(x)
+    filled_f0, conf2 = extract_f0_with_pyin(x, fill_na=0.0, voicing_threshold=0.5)
+    np.testing.assert_array_equal(conf, conf2)
+
+    unvoiced = conf < 0.5
+    # the boundary fixture must actually exercise both sides
+    assert 0.2 < unvoiced.mean() < 0.8
+    # tone half voiced, silence half unvoiced (boundary frames aside)
+    frames_15s = int(1.5 * SR / 128)
+    assert not unvoiced[5 : frames_15s - 5].any()
+    assert unvoiced[frames_15s + 5 : -5].all()
+
+    np.testing.assert_array_equal(filled_f0[unvoiced], 0.0)
+    np.testing.assert_array_equal(filled_f0[~unvoiced], raw_f0[~unvoiced])
+
+    # NaN fill (librosa pyin's default fill_na=np.nan) round-trips too
+    nan_f0, _ = extract_f0_with_pyin(x, fill_na=np.nan)
+    assert np.isnan(nan_f0[unvoiced]).all()
+    assert np.isfinite(nan_f0[~unvoiced]).all()
+
+
 def test_voicing_separation():
     """Confidence must separate voiced from unvoiced cleanly: noise-only
     and near-silence both measured ~0.14 mean confidence vs >=0.76 on

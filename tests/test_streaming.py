@@ -113,6 +113,67 @@ def test_streaming_deterministic_given_key(streaming_setup, rng):
     np.testing.assert_array_equal(outs[0], outs[1])
 
 
+def test_pipelined_matches_serial(streaming_setup, rng):
+    """PipelinedStreamer changes WHEN buffers reach the host, never what
+    they are: depth-4 pipelined output must be bit-identical to the
+    serial step loop over the same control stream."""
+    from neural_waveshaping_synthesis_tpu.streaming import PipelinedStreamer
+
+    model, params, synth = streaming_setup
+    n_buffers = 10
+    f0s = [jnp.full((1, 4), 110.0 + 5.0 * i) for i in range(n_buffers)]
+    ctrls = [
+        jnp.asarray(rng.standard_normal((1, 4, 2)).astype(np.float32))
+        for _ in range(n_buffers)
+    ]
+
+    # serial reference
+    state = synth.init_state(params, 1, jax.random.PRNGKey(11))
+    ir_spectra = synth.ir_partition_spectra(params)
+    step = jax.jit(synth.step)
+    serial = []
+    for f0, c in zip(f0s, ctrls):
+        audio, state = step(params, state, f0, c, ir_spectra)
+        serial.append(np.asarray(audio))
+
+    streamer = PipelinedStreamer(
+        synth, params, batch=1, key=jax.random.PRNGKey(11), depth=4
+    )
+    piped = []
+    for f0, c in zip(f0s, ctrls):
+        out = streamer.push(f0, c)
+        if out is not None:
+            piped.append(out)
+    piped.extend(streamer.flush())
+
+    assert len(piped) == n_buffers
+    for s, p in zip(serial, piped):
+        np.testing.assert_array_equal(s, p)
+
+
+def test_pipelined_priming_and_flush(streaming_setup, rng):
+    """push returns None for exactly `depth` priming calls, then one
+    buffer per push; flush drains the remaining `depth` buffers."""
+    from neural_waveshaping_synthesis_tpu.streaming import PipelinedStreamer
+
+    model, params, synth = streaming_setup
+    depth = 3
+    streamer = PipelinedStreamer(
+        synth, params, batch=2, key=jax.random.PRNGKey(0), depth=depth
+    )
+    f0 = jnp.full((2, 4), 110.0)
+    control = jnp.zeros((2, 4, 2))
+    outs = [streamer.push(f0, control) for _ in range(7)]
+    assert all(o is None for o in outs[:depth])
+    assert all(o is not None and o.shape == (2, synth.buffer_size)
+               for o in outs[depth:])
+    drained = list(streamer.flush())
+    assert len(drained) == depth
+    assert len(streamer) == 0
+    with pytest.raises(IndexError):
+        streamer.pop()
+
+
 def test_streaming_approximates_offline_render(streaming_setup, rng):
     """A streamed render should spectrally match the offline graph on
     steady-state content (semantics differ by a half-frame interpolation

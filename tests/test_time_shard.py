@@ -56,8 +56,18 @@ def test_matches_unsharded_render(model_and_params, rng, n_devices):
 
 def test_matches_unsharded_render_exact_f64(model_and_params, rng):
     """In float64 the sharded render must match the unsharded graph to
-    ~1e-10 — proving the chunk decomposition is semantically exact and
-    the f32 tolerance above is pure reassociation noise."""
+    1e-7 — proving the chunk decomposition is semantically exact and
+    the f32 tolerance above is pure reassociation noise.
+
+    Why not tighter: the two compiled programs use different f64 cumsum
+    reduction trees for the phase integral (CLAUDE.md rule 10), and
+    that eps-level phase difference is amplified by harmonic index
+    (x101) and the shaper's ~30x input_scale inside sin — measured
+    7.4e-9 max abs (13x headroom). The historical 1e-10 bound was an
+    artifact: dense dots then quantized their f64 outputs to f32
+    (preferred_element_type pinned to f32 pre-modules._acc_dtype),
+    which rounded BOTH programs to identical f32 values (diff exactly
+    0.0) while destroying the precision the bound claimed to measure."""
     model, params = model_and_params
     with jax.enable_x64(True):
         params64 = jax.tree_util.tree_map(
@@ -73,7 +83,7 @@ def test_matches_unsharded_render_exact_f64(model_and_params, rng):
         )
         render = make_time_sharded_renderer(model, create_mesh())
         sharded = np.asarray(render(params64, f0, control, key=key))
-        np.testing.assert_allclose(sharded, reference, atol=1e-10, rtol=1e-10)
+        np.testing.assert_allclose(sharded, reference, atol=1e-7, rtol=1e-7)
 
 
 def test_non_divisible_frames_pad_path(model_and_params, rng):
@@ -157,8 +167,11 @@ def test_bf16_model_matches_unsharded(model_and_params, rng):
     reference = np.asarray(jax.jit(model16.apply)(params, f0, control, key=key))
     render = make_time_sharded_renderer(model16, create_mesh())
     sharded = np.asarray(render(params, f0, control, key=key))
-    # bf16 quantization noise scale, short clip: tight-ish bound
-    np.testing.assert_allclose(sharded, reference, atol=2e-2, rtol=2e-2)
+    # the renderer computes FiLM through the same bf16 MLP/embedding
+    # cast as model.apply (time_shard.py render), so only bf16
+    # rounding-order noise remains (measured max abs 9.8e-4 on this
+    # fixture; 4x headroom)
+    np.testing.assert_allclose(sharded, reference, atol=4e-3, rtol=4e-3)
     # and the bf16 render tracks the f32 one (sanity on the cast scope)
     model32 = NeuralWaveshaping()
     ref32 = np.asarray(jax.jit(model32.apply)(params, f0, control, key=key))
