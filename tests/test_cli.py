@@ -44,6 +44,18 @@ def test_cli_help(script):
     assert "--gin-file" in r.stdout
 
 
+@pytest.mark.parametrize(
+    "script", ["convert_crepe.py", "make_synthetic_corpus.py",
+               "export_checkpoint.py", "summarize_run.py", "plot_run.py"],
+)
+def test_cli_help_no_gin(script):
+    """Scripts without a --gin-file surface still expose a working
+    --help (the CLI contract check for the non-gin tools)."""
+    r = run_cli(script, "--help", timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "--help" in r.stdout or "Usage" in r.stdout
+
+
 def test_create_dataset_cli_end_to_end(tmp_path):
     sr = 16000
     t = np.arange(9 * sr) / sr
