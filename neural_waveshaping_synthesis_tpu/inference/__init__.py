@@ -4,6 +4,7 @@ from .timbre_transfer import (
     ControlAdjustments,
     adjust_controls,
     extract_features,
+    stream_timbre_transfer,
     timbre_transfer,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "ControlAdjustments",
     "adjust_controls",
     "extract_features",
+    "stream_timbre_transfer",
     "timbre_transfer",
 ]

@@ -183,3 +183,116 @@ def timbre_transfer(
 
     audio_seconds = tc * model.control_hop / model.sample_rate
     return out[0, : tc * model.control_hop], audio_seconds / wall
+
+
+def stream_timbre_transfer(
+    model,
+    params: Dict,
+    audio: np.ndarray,
+    sample_rate: float,
+    data_mean: np.ndarray,
+    data_std: np.ndarray,
+    adjustments: ControlAdjustments = ControlAdjustments(),
+    f0_extractor: str = "yin",
+    crepe_weights: Optional[str] = None,
+    seed: int = 0,
+    buffer_size: int = 1024,
+    pipeline_depth: int = 4,
+) -> Tuple[np.ndarray, Dict]:
+    """Timbre transfer synthesized buffer-by-buffer through the
+    pipelined streaming driver — the live-serving path, demonstrated on
+    file input (the reference has no streaming surface at all; its
+    buffer-timing script runs stateless forwards,
+    scripts/time_buffer_sizes.py:49-75).
+
+    Control extraction is offline (identical to :func:`timbre_transfer`);
+    synthesis then runs one ``buffer_size``-sample buffer at a time with
+    fully carried state (streaming/synth.py) and ``pipeline_depth``
+    buffers in flight (streaming/pipeline.py), exactly as a live client
+    would consume it. Output differs from the offline render only by the
+    documented streaming semantics (per-stream phases, segment ramps,
+    true-linear reverb).
+
+    Returns ``(audio (T,), stats)`` where stats holds per-buffer cadence
+    percentiles (spacing of buffer arrivals on the host), first-buffer
+    latency, and the end-to-end x_realtime factor — all measured AFTER a
+    warm-up pass so compile time isn't charged to the stream.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..streaming import PipelinedStreamer, StreamingSynth
+
+    hop = model.control_hop
+    if buffer_size % hop:
+        raise ValueError(f"buffer_size must be a multiple of control_hop "
+                         f"({hop}), got {buffer_size}")
+    frames = buffer_size // hop
+
+    _, f0, confidence, loudness = extract_features(
+        audio, sample_rate, model.sample_rate, f0_extractor, crepe_weights
+    )
+    f0_hz, control = adjust_controls(
+        f0, confidence, loudness, data_mean, data_std, adjustments
+    )
+
+    tc = f0_hz.shape[0]
+    n_buffers = -(-tc // frames)
+    pad = n_buffers * frames - tc
+    f0_b = np.pad(f0_hz, (0, pad)).reshape(n_buffers, 1, frames)
+    ctrl_b = np.pad(control, ((0, pad), (0, 0))).reshape(n_buffers, 1, frames, 2)
+
+    synth = StreamingSynth(model, frames)
+    # one jitted step shared by warm-up and the measured run: a fresh
+    # jax.jit per PipelinedStreamer would re-trace on the measured run's
+    # first push and charge ~0.5 s of tracing to first-buffer latency
+    jit_step = jax.jit(synth.step)
+
+    def run(collect):
+        streamer = PipelinedStreamer(
+            synth, params, batch=1, key=jax.random.PRNGKey(seed),
+            depth=pipeline_depth, jit_step=jit_step,
+        )
+        # prime the carried f0 so buffer 0 isn't a 0 Hz -> f0 ramp
+        streamer.state = streamer.state._replace(
+            prev_f0=jnp.asarray(f0_b[0, :, 0])
+        )
+        chunks, pops = [], []
+        t_start = time.perf_counter()
+        first_latency = None
+        for i in range(n_buffers):
+            out = streamer.push(jnp.asarray(f0_b[i]), jnp.asarray(ctrl_b[i]))
+            if out is not None:
+                if first_latency is None:
+                    first_latency = time.perf_counter() - t_start
+                pops.append(time.perf_counter())
+                if collect:
+                    chunks.append(out)
+        for out in streamer.flush():
+            if first_latency is None:
+                first_latency = time.perf_counter() - t_start
+            pops.append(time.perf_counter())
+            if collect:
+                chunks.append(out)
+        wall = time.perf_counter() - t_start
+        return chunks, np.asarray(pops), first_latency, wall
+
+    run(collect=False)  # warm-up: compile + cache the step
+    chunks, pops, first_latency, wall = run(collect=True)
+
+    out = np.concatenate([c[0] for c in chunks])[: tc * hop]
+    audio_seconds = tc * hop / model.sample_rate
+    cadence_ms = np.diff(pops) * 1000 if len(pops) > 1 else np.zeros(1)
+    stats = {
+        "buffer_size": buffer_size,
+        "n_buffers": n_buffers,
+        "pipeline_depth": pipeline_depth,
+        "cadence_p50_ms": float(np.percentile(cadence_ms, 50)),
+        "cadence_p95_ms": float(np.percentile(cadence_ms, 95)),
+        "first_buffer_latency_ms": float((first_latency or 0.0) * 1000),
+        "x_realtime": audio_seconds / wall,
+        "buffer_budget_ms": buffer_size / model.sample_rate * 1000,
+    }
+    return out, stats

@@ -11,6 +11,7 @@ from neural_waveshaping_synthesis_tpu.inference import (
     ControlAdjustments,
     adjust_controls,
     extract_features,
+    stream_timbre_transfer,
     timbre_transfer,
 )
 
@@ -65,6 +66,52 @@ def test_extract_features_shapes(rng):
     n = 1 + 2 * sr // 128
     assert f0.shape == conf.shape == loud.shape == (n,)
     assert abs(np.median(f0[10:-10]) - 440.0) < 5.0
+
+
+def test_stream_timbre_transfer_tiny(rng):
+    """The streaming timbre-transfer path (pipelined driver, carried
+    state) runs end-to-end on arbitrary audio and reports honest
+    cadence stats; output length/shape match the offline contract."""
+    from test_training import tiny_model
+
+    model = tiny_model()
+    params = model.init(jax.random.PRNGKey(0))
+    mean = np.zeros((19, 1)); mean[0] = 200.0; mean[1] = 0.3
+    std = np.ones((19, 1)); std[0] = 100.0; std[1] = 0.2
+
+    sr = 4000
+    t = np.arange(2 * sr) / sr
+    audio = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+
+    out, stats = stream_timbre_transfer(
+        model, params, audio, sr, mean, std,
+        buffer_size=128,       # 4 frames of the tiny model's 32-hop
+        pipeline_depth=2,
+    )
+    n_frames = 1 + len(audio) // 128  # extract_features' 128-sample hop
+    assert out.shape == (n_frames * model.control_hop,)
+    assert np.isfinite(out).all()
+    assert stats["n_buffers"] == -(-n_frames // 4)
+    assert stats["pipeline_depth"] == 2
+    assert stats["cadence_p50_ms"] >= 0.0
+    assert stats["cadence_p95_ms"] >= stats["cadence_p50_ms"]
+    assert stats["first_buffer_latency_ms"] > 0.0
+    assert stats["x_realtime"] > 0.0
+    # a voiced input through a random-init model still synthesizes energy
+    assert out.std() > 0.0
+
+
+def test_stream_timbre_transfer_rejects_bad_buffer(rng):
+    from test_training import tiny_model
+
+    model = tiny_model()
+    params = model.init(jax.random.PRNGKey(0))
+    mean, std = np.zeros((19, 1)), np.ones((19, 1))
+    audio = np.zeros(4000, np.float32)
+    with pytest.raises(ValueError, match="multiple of control_hop"):
+        stream_timbre_transfer(
+            model, params, audio, 4000, mean, std, buffer_size=100
+        )
 
 
 @needs_ckpt
