@@ -36,6 +36,7 @@ def run_cli(script, *args, timeout=600):
         "time_forward_pass.py",
         "time_buffer_sizes.py",
         "timbre_transfer.py",
+        "serving_capacity.py",
     ],
 )
 def test_cli_help(script):
@@ -114,6 +115,30 @@ def test_time_forward_pass_cli():
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Device-only" in r.stdout
     assert "x realtime" in r.stdout
+
+
+def test_serving_capacity_cli(tmp_path):
+    """Batched-streaming capacity sweep runs end-to-end and emits the
+    per-batch CSV (timings are meaningless on CPU; this checks the
+    loop, the int16 wire cast, and the CSV contract)."""
+    import pandas as pd
+
+    out = tmp_path / "cap.csv"
+    r = run_cli(
+        "serving_capacity.py",
+        "--batches", "1,2",
+        "--iterations", "6",
+        "--warmup", "2",
+        "--fetch-int16",
+        "--output-csv", str(out),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "capacity:" in r.stdout
+    df = pd.read_csv(out)
+    assert sorted(df.batch_streams) == [1, 2]
+    assert (df.wire_dtype == "int16").all()
+    assert (df.cadence_p50_ms > 0).all()
+    assert (df.budget_ms == 64.0).all()
 
 
 def test_urmp_file_glob(tmp_path):
