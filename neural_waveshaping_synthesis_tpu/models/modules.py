@@ -142,6 +142,17 @@ class TimeDistributedMLP:
 # TrainableNonlinearity — the bank of learned scalar waveshapers
 # ---------------------------------------------------------------------------
 def sine(x):
+    """Polynomial sine (ops/fastmath.py): the shaper bank is SINE-bound
+    (one jnp.sin pass over the (B·T, C·W) activations costs 3.35 ms at
+    256x1024 samples vs 1.76 ms for ALL its matmuls; fast_sin does the
+    same pass in 0.72 ms at ≤6e-7 abs error for these arguments — see
+    fastmath.py for the bounds and the measurement)."""
+    from ..ops.fastmath import fast_sin
+
+    return fast_sin(x)
+
+
+def sine_exact(x):
     return jnp.sin(x)
 
 
@@ -165,7 +176,8 @@ class TrainableNonlinearity:
     final_nonlinearity: str = "sine"
 
     def _act(self, name):
-        return {"sine": sine, "relu": jax.nn.relu}[name]
+        return {"sine": sine, "sine_exact": sine_exact,
+                "relu": jax.nn.relu}[name]
 
     def init(self, key) -> Params:
         keys = jax.random.split(key, self.depth + 1)
@@ -188,17 +200,21 @@ class TrainableNonlinearity:
     def apply(self, p: Params, x: jnp.ndarray) -> jnp.ndarray:
         """(B, T, C) -> (B, T, C), each channel through its own scalar MLP.
 
-        Formulation notes (all measured on v5e, batch 8 x 4 s, scan
-        timing): this broadcast einsum costs ~24 ms fwd / ~69 ms
-        fwd+bwd. The bottleneck is HBM materialization of the
-        (B*T, C, W) activations at each einsum boundary — NOT sine
-        compute (262M sines measure 1.2 ms, and chained sines fuse to
-        one pass). Rejected variants: block-diagonal MXU matmul (85 ms
-        — redundant FLOPs cost more than the MXU buys), a width-leading
-        wbtc einsum layout (no change — XLA normalizes layouts), and a
-        fused Pallas kernel (58 ms fwd — Mosaic's per-width unrolling
-        and sin lowering lose to XLA's fusion; kept as an option in
-        kernels/newt_fused.py).
+        Formulation notes (measured on v5e, scan timing): with exact
+        jnp.sin this broadcast einsum costs ~24 ms fwd at batch 8 x 4 s
+        / ~69 ms fwd+bwd. Component isolation at 256x1024 samples shows
+        the bound is SINE COMPUTE — one jnp.sin pass over the
+        (B*T, C*W) activations is 3.35 ms while all four matmul layers
+        total 1.76 ms. (An earlier note here claimed 262M sines measure
+        1.2 ms and blamed HBM; that measurement was invalidated — XLA
+        hoisted the loop-invariant sines out of the timing scan. The
+        corrected harness perturbs the input by the scan carry.) Hence
+        the polynomial `sine` above; `sine_exact` restores jnp.sin.
+        Rejected formulations (with exact sin; ratios unchanged by the
+        activation choice since all apply the same sine count):
+        block-diagonal MXU matmul (85 ms), width-leading wbtc einsum
+        (no change), and two fused Pallas kernels (58 / 39.7 ms fwd —
+        kernels/newt_fused.py, kept as baselines).
         """
         act = self._act(self.nonlinearity)
         final_act = self._act(self.final_nonlinearity)

@@ -17,7 +17,16 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from .fastmath import fast_sin
+
 TAU = 2.0 * math.pi
+
+# Escape hatch: exact XLA sin for the bank (A/B tests, other platforms).
+# The polynomial sine cuts the bank's dominant cost ~4x; its worst-case
+# error at the wrapped-phase argument bound tau*H (~634 rad) is 1.8e-4
+# — the f32 REPRESENTATION of such a phase already carries ~6e-5 rad of
+# quantization, and golden tolerance is 1e-3 nRMS (see ops/fastmath.py).
+EXACT_SIN = False
 
 
 def phase_accumulate(f0: jnp.ndarray, sample_rate: float) -> jnp.ndarray:
@@ -105,7 +114,8 @@ def bank_from_phase(
     phase = jnp.mod(phase, TAU)
     harmonic_phase = phase[..., None] * k + phase_offset  # (B, T, H)
     antialias = (f0[..., None] * k) < (sample_rate / 2.0)
-    return jnp.sin(harmonic_phase) * antialias.astype(f0.dtype)
+    sin = jnp.sin if EXACT_SIN else fast_sin
+    return sin(harmonic_phase) * antialias.astype(f0.dtype)
 
 
 def final_phase(
