@@ -272,14 +272,20 @@ def gru_step(
     return (1.0 - z) * n + z * h
 
 
-def gru_apply(
-    p: Params, x: jnp.ndarray, h0: Optional[jnp.ndarray] = None
+def _gru_scan_time_major(
+    p: Params, x: jnp.ndarray, h0: Optional[jnp.ndarray]
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Scan a GRU over (B, T, in) -> ((B, T, H), final h (B, H)).
+    """GRU core over (B, T, in) -> (time-major ys (T, B, H), final h).
 
     lax.scan over the 125 Hz control axis — 500 steps of fused (B, in+H)
     matmuls; the input-side projection for ALL timesteps is hoisted out
-    of the scan into one big MXU matmul.
+    of the scan into ONE MXU matmul, written time-major directly
+    (einsum 'bti,ik->tbk') so the scan consumes it without a separate
+    (B,T,·)->(T,B,·) transpose copy. Profiling showed those transposes
+    execute at ~2 GB/s on TPU (sublane-crossing layout copies,
+    ~5 ms/train-step across fwd+bwd); keeping the sequence time-major
+    end-to-end and folding both boundary transposes into the adjacent
+    projections removes them.
     """
     hidden = p["w_hh"].shape[0]
     b = x.shape[0]
@@ -292,8 +298,10 @@ def gru_apply(
             (b, hidden), dtype=jnp.result_type(x.dtype, p["w_hh"].dtype)
         )
 
-    # Hoist the input projection: (B, T, in) x (in, 3H) once on the MXU.
-    gi_all = jnp.dot(x, p["w_ih"], preferred_element_type=_acc_dtype(x, p["w_ih"])) + p["b_ih"]
+    gi_all = jnp.einsum(
+        "bti,ik->tbk", x, p["w_ih"],
+        preferred_element_type=_acc_dtype(x, p["w_ih"]),
+    ) + p["b_ih"]
 
     def step(h, gi):
         gh = jnp.dot(h, p["w_hh"], preferred_element_type=_acc_dtype(h, p["w_hh"])) + p["b_hh"]
@@ -305,7 +313,15 @@ def gru_apply(
         h_new = (1.0 - z) * n + z * h
         return h_new, h_new
 
-    h_final, ys = jax.lax.scan(step, h0, jnp.swapaxes(gi_all, 0, 1))
+    h_final, ys = jax.lax.scan(step, h0, gi_all)
+    return ys, h_final
+
+
+def gru_apply(
+    p: Params, x: jnp.ndarray, h0: Optional[jnp.ndarray] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scan a GRU over (B, T, in) -> ((B, T, H), final h (B, H))."""
+    ys, h_final = _gru_scan_time_major(p, x, h0)
     return jnp.swapaxes(ys, 0, 1), h_final
 
 
@@ -332,6 +348,17 @@ class ControlModule:
     def apply(
         self, p: Params, control: jnp.ndarray, h0: Optional[jnp.ndarray] = None
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """(B, T, control_size) -> ((B, T, E), final GRU state (B, H))."""
-        hs, h_final = gru_apply(p["gru"], control, h0)
-        return dense_apply(p["proj"], hs), h_final
+        """(B, T, control_size) -> ((B, T, E), final GRU state (B, H)).
+
+        The GRU core runs time-major; the back-to-batch-major transpose
+        is folded into the projection matmul (einsum 'tbh,he->bte')
+        instead of materializing a layout copy between them — same
+        contraction, same values, one less ~2 GB/s sublane-crossing
+        copy per step (see _gru_scan_time_major)."""
+        ys, h_final = _gru_scan_time_major(p["gru"], control, h0)
+        w = p["proj"]["w"]
+        y = jnp.einsum(
+            "tbh,he->bte", ys, w, preferred_element_type=_acc_dtype(ys, w)
+        ) + p["proj"]["b"]
+        y = y if ys.dtype == jnp.float32 else y.astype(ys.dtype)
+        return y, h_final

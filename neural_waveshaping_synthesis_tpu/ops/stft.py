@@ -15,7 +15,7 @@ time-last ``(..., T)``; spectrograms are ``(..., n_frames, n_bins)``
 ``n_fft`` of 256 puts 129 bins on the lane dimension, which XLA pads
 to 2 registers; larger FFTs tile cleanly).
 """
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -201,4 +201,99 @@ def spectrogram_magnitude(
     the sqrt; we match)."""
     spec = stft(x, n_fft, hop_length, win_length, window, center, pad_mode)
     power = spec.real * spec.real + spec.imag * spec.imag
+    return jnp.sqrt(jnp.maximum(power, eps))
+
+
+# ---------------------------------------------------------------------------
+# Polyphase matmul DFT — the training-loss spectrogram
+# ---------------------------------------------------------------------------
+@lru_cache(maxsize=None)
+def _dft_basis(n_fft: int, dtype_name: str):
+    """Real-DFT analysis basis ``(2*(n_fft//2+1), n_fft)`` as
+    ``[Re; Im]`` rows, built in f64 and cast once (numpy, cached)."""
+    import numpy as np
+
+    bins = n_fft // 2 + 1
+    n = np.arange(n_fft)
+    f = np.arange(bins)[:, None]
+    ang = 2.0 * np.pi * f * n / n_fft
+    return np.concatenate([np.cos(ang), -np.sin(ang)], axis=0).astype(dtype_name)
+
+
+def polyphase_dft_magnitude(
+    x: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    win_length: Optional[int] = None,
+    window: Optional[jnp.ndarray] = None,
+    center: bool = True,
+    pad_mode: str = "reflect",
+    eps: float = 1e-8,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """|STFT| of ``(..., T)`` -> ``(..., n_frames, n_fft//2+1)`` as a
+    sum of dense MXU matmuls — same values as ``spectrogram_magnitude``
+    (windowed centered torch.stft semantics), radically cheaper
+    fwd+bwd on TPU.
+
+    Why: profiling the training step (docs/DESIGN.md §3.3) showed the
+    framed path's data movement — k strided slices concatenated into a
+    (B, n_frames, n_fft) tensor in a 2-element-lane layout, then
+    layout-copied for the FFT — cost ~36 ms/step of the 95 ms step,
+    while the rFFTs themselves cost 0.2 ms. This form never
+    materializes frames: the signal is reshaped into hop-sized blocks
+    (free — hop divides every frame offset by construction), and frame
+    j's DFT is accumulated over the ceil(n_fft/hop) block-aligned
+    sections of the basis:
+
+        out[..., j, :] = sum_i blocks[..., j+i, :] @ basis[:, i*hop:(i+1)*hop].T
+
+    Each term is a CONTIGUOUS shifted view of the block array (frames
+    advance one block per hop) feeding a dense (hop, 2*bins) matmul —
+    pure MXU work, and the backward is the same matmuls transposed
+    into zero-pads instead of overlap-add scatters.
+
+    ``precision=HIGHEST`` keeps f32 matmul error ~1e-6 relative (the
+    auraloss-oracle test tolerance is 1e-3); the default-bf16 MXU pass
+    would be ~1e-3 per bin. float64 inputs fall back to the framed FFT
+    path: the k-term accumulation order is program-dependent under
+    sharding, which would break the exact cross-mesh fit-equivalence
+    contract (tests/test_training.py) that f64 exists to serve.
+    """
+    if jnp.result_type(x) == jnp.float64:
+        return spectrogram_magnitude(
+            x, n_fft, hop_length, win_length, window, center, pad_mode, eps
+        )
+    w = _expand_window(window, n_fft, win_length).astype(x.dtype)
+    if center:
+        x = _pad_center(x, n_fft, pad_mode)
+    t = x.shape[-1]
+    h = hop_length
+    n_frames = 1 + (t - n_fft) // h
+    bins = n_fft // 2 + 1
+
+    basis = jnp.asarray(_dft_basis(n_fft, jnp.result_type(x).name))
+    atoms = basis * w[None, :]  # loop-invariant; XLA hoists out of scans
+
+    kf, r = divmod(n_fft, h)
+    nb = n_frames - 1 + kf + (1 if r else 0)
+    if nb * h > t:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, nb * h - t)])
+    blocks = x[..., : nb * h].reshape(x.shape[:-1] + (nb, h))
+
+    out = None
+    for i in range(kf):
+        part = jax.lax.slice_in_dim(blocks, i, i + n_frames, axis=-2)
+        term = jnp.einsum(
+            "...nh,kh->...nk", part, atoms[:, i * h : (i + 1) * h],
+            precision=precision,
+        )
+        out = term if out is None else out + term
+    if r:
+        part = jax.lax.slice_in_dim(blocks, kf, kf + n_frames, axis=-2)[..., :r]
+        out = out + jnp.einsum(
+            "...nr,kr->...nk", part, atoms[:, kf * h :], precision=precision
+        )
+
+    power = out[..., :bins] ** 2 + out[..., bins:] ** 2
     return jnp.sqrt(jnp.maximum(power, eps))

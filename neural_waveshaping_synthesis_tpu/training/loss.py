@@ -15,67 +15,21 @@ requirements.txt:1). Those defaults:
 Magnitudes are floored at sqrt(1e-8) exactly as auraloss clamps
 |X|^2 >= 1e-8 before the sqrt.
 
-TPU notes: all three resolutions are computed inside one jit; the
-framing gathers and rFFTs batch over (B*n_frames) and XLA fuses the
-magnitude/log elementwise chain. Loss reduction is a full-tensor
-frobenius norm / mean — under pjit data parallelism these reduce with
-``psum`` over the mesh automatically.
+TPU notes: all three resolutions are computed inside one jit as
+polyphase matmul DFTs (``ops/stft.py polyphase_dft_magnitude`` — no
+frame tensor is ever materialized; fwd and bwd are MXU matmuls). Loss
+reduction is a full-tensor frobenius norm / mean — under pjit data
+parallelism these reduce with ``psum`` over the mesh automatically.
 """
-from functools import lru_cache, partial
-from typing import Sequence, Tuple
+from typing import Sequence
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.windows import hann_window
 
 DEFAULT_FFT_SIZES = (1024, 2048, 512)
 DEFAULT_HOP_SIZES = (120, 240, 50)
 DEFAULT_WIN_LENGTHS = (600, 1200, 240)
-
-
-@lru_cache(maxsize=None)
-def _dft_atoms(n_fft: int, win_length: int) -> np.ndarray:
-    """Windowed real-DFT analysis atoms ``(1, 2*(n_fft//2+1), n_fft)``.
-
-    Output channel 2f is Re(X[f]), channel 2f+1 is -Im... laid out as
-    [all re | all im]. The hann window (zero-padded centered to n_fft,
-    torch.stft semantics) is baked into the atoms.
-    """
-    n_bins = n_fft // 2 + 1
-    w = np.zeros(n_fft)
-    win = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(win_length) / win_length)
-    left = (n_fft - win_length) // 2
-    w[left : left + win_length] = win
-    n = np.arange(n_fft)
-    f = np.arange(n_bins)[:, None]
-    re = np.cos(2.0 * np.pi * f * n / n_fft) * w
-    im = -np.sin(2.0 * np.pi * f * n / n_fft) * w
-    return np.concatenate([re, im], axis=0)[:, None, :].astype(np.float32)
-
-
-def _conv_stft_magnitude(
-    x: jnp.ndarray, n_fft: int, hop: int, win_length: int, eps: float
-) -> jnp.ndarray:
-    """|STFT| of (B, T) via one strided convolution against windowed DFT
-    atoms. Identical values to the FFT path, but both the forward AND
-    the backward are MXU matmuls — the FFT path's frame/overlap-add
-    transpose dominated the training step (146 ms for the 512/50
-    resolution alone; this form takes ~1 ms).
-    """
-    atoms = jnp.asarray(_dft_atoms(n_fft, win_length))
-    padded = jnp.pad(x, ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
-    out = jax.lax.conv_general_dilated(
-        padded[:, None, :],
-        atoms,
-        window_strides=(hop,),
-        padding=[(0, 0)],
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    )  # (B, 2*bins, frames)
-    n_bins = n_fft // 2 + 1
-    power = out[:, :n_bins, :] ** 2 + out[:, n_bins:, :] ** 2
-    return jnp.sqrt(jnp.maximum(power, eps))
 
 
 def stft_loss(
@@ -93,19 +47,25 @@ def stft_loss(
     sc = ||Y - X||_F / ||Y||_F  (norms over the whole batched tensor)
     log_mag = mean |log Y - log X|
 
-    Uses the FFT spectrogram whose framing carries a custom
-    overlap-add VJP (ops/stft.py) — XLA's default framing transpose
-    made this loss's backward the single most expensive part of the
-    training step. (A strided-conv DFT formulation was tried and is
-    kept above for reference benchmarking; it lowers even worse.)
+    Spectrograms come from the polyphase matmul DFT
+    (``ops/stft.py polyphase_dft_magnitude`` — same values as the
+    framed-FFT path, but fwd AND bwd are dense MXU matmuls). The
+    framed path's slice/concat data movement was the largest single
+    cost in the profiled training step (~36 of 95 ms; the rFFTs
+    themselves were 0.2 ms — see the function's docstring and
+    docs/DESIGN.md §3.3). An earlier strided-`conv_general_dilated`
+    DFT attempt (n_fft-wide kernels, NCH) lowered even worse than
+    framing; the polyphase block decomposition is what makes the
+    matmul form win. f64 inputs transparently use the framed-FFT path
+    (exact cross-mesh fit-equivalence contract).
     """
-    from ..ops.stft import spectrogram_magnitude
+    from ..ops.stft import polyphase_dft_magnitude
 
     window = hann_window(win_length, periodic=True)
-    x_mag = spectrogram_magnitude(
+    x_mag = polyphase_dft_magnitude(
         x, fft_size, hop_size, win_length=win_length, window=window, eps=eps
     )
-    y_mag = spectrogram_magnitude(
+    y_mag = polyphase_dft_magnitude(
         y, fft_size, hop_size, win_length=win_length, window=window, eps=eps
     )
     sc = jnp.linalg.norm(y_mag - x_mag) / jnp.linalg.norm(y_mag)

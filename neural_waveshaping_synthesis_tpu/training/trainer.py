@@ -56,6 +56,14 @@ class TrainConfig:
     checkpoint_dir: str = "checkpoints_tpu"
     keep_n_checkpoints: int = 2
     seed: int = 0
+    # torch.optim.Adam default (the reference recipe trains with it,
+    # reference models/neural_waveshaping.py:95); exposed as a normal
+    # optimizer knob. Note eps also sets the early-training noise
+    # amplification (update ~ g/(sqrt(nu)+eps) with nu ~ 0 at step 0),
+    # which is why cross-mesh trajectory tests gate post-chaos-horizon
+    # values statistically (tests/test_training.py
+    # _assert_same_trajectory).
+    adam_eps: float = 1e-8
 
 
 def make_lr_schedule(cfg: TrainConfig) -> optax.Schedule:
@@ -73,7 +81,7 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     step, exactly this order."""
     return optax.chain(
         optax.clip_by_global_norm(cfg.gradient_clip_val),
-        optax.adam(make_lr_schedule(cfg)),
+        optax.adam(make_lr_schedule(cfg), eps=cfg.adam_eps),
     )
 
 

@@ -34,6 +34,25 @@ def test_linear_upsample_matches_torch(rng):
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_linear_upsample_integer_fast_path_all_hops(rng):
+    """The fused integer fast path must match F.interpolate
+    (align_corners=False) for BOTH parities of hop — the half-hop
+    shift is hop - hop//2, not hop//2 (regression: the fused-weight
+    rewrite initially collapsed the two for odd hops)."""
+    from neural_waveshaping_synthesis_tpu.ops.upsample import (
+        _linear_upsample_integer,
+    )
+
+    x = rng.standard_normal((2, 9, 3)).astype(np.float32)
+    for hop in (2, 3, 5, 8, 125, 128):
+        ours = np.asarray(_linear_upsample_integer(jnp.asarray(x), hop))
+        ref = F.interpolate(
+            torch.tensor(x).permute(0, 2, 1), 9 * hop, mode="linear"
+        ).permute(0, 2, 1).numpy()
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"hop={hop}")
+
+
 def test_oscillator_pure_tone():
     sr = 16000
     f0 = jnp.full((1, sr), 440.0)

@@ -73,3 +73,74 @@ def test_frame_signal_shape(rng):
     frames = frame_signal(x, 256, 128)
     assert frames.shape == (2, 1 + (1000 - 256) // 128, 256)
     np.testing.assert_array_equal(np.asarray(frames[0, 1]), np.asarray(x[0, 128:384]))
+
+
+# ---------------------------------------------------------------------------
+# polyphase matmul DFT (the training-loss spectrogram path)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize(
+    "n_fft,hop,win", [(1024, 120, 600), (2048, 240, 1200), (512, 50, 240),
+                      (256, 128, 256)]
+)
+def test_polyphase_dft_matches_framed_fft(rng, n_fft, hop, win):
+    """Bit-for-purpose parity with the framed-FFT spectrogram across
+    the auraloss default resolutions (incl. a hop-divides-frame case
+    with no partial block)."""
+    from neural_waveshaping_synthesis_tpu.ops.stft import (
+        polyphase_dft_magnitude,
+        spectrogram_magnitude,
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32) * 0.3)
+    w = hann_window(win, periodic=True)
+    ref = np.asarray(
+        spectrogram_magnitude(x, n_fft, hop, win_length=win, window=w)
+    )
+    ours = np.asarray(
+        polyphase_dft_magnitude(x, n_fft, hop, win_length=win, window=w)
+    )
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_polyphase_dft_gradient_matches_framed(rng):
+    """The two formulations are the same linear map, so loss gradients
+    through them must agree (custom-OLA VJP vs transposed matmuls)."""
+    import jax
+
+    from neural_waveshaping_synthesis_tpu.ops.stft import (
+        polyphase_dft_magnitude,
+        spectrogram_magnitude,
+    )
+
+    x = jnp.asarray(rng.standard_normal((1, 3000)).astype(np.float32) * 0.3)
+    w = hann_window(240, periodic=True)
+
+    def loss(fn, v):
+        return jnp.sum(fn(v, 512, 50, win_length=240, window=w) ** 2)
+
+    g_ref = np.asarray(jax.grad(lambda v: loss(spectrogram_magnitude, v))(x))
+    g_new = np.asarray(jax.grad(lambda v: loss(polyphase_dft_magnitude, v))(x))
+    np.testing.assert_allclose(g_new, g_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_polyphase_dft_f64_falls_back_exactly(rng):
+    """f64 inputs must take the framed-FFT path bit-exactly (the
+    cross-mesh fit-equivalence contract)."""
+    import jax
+
+    from neural_waveshaping_synthesis_tpu.ops.stft import (
+        polyphase_dft_magnitude,
+        spectrogram_magnitude,
+    )
+
+    with jax.enable_x64(True):
+        x = jnp.asarray(rng.standard_normal((1, 2000)), jnp.float64)
+        w = hann_window(240, periodic=True).astype(jnp.float64)
+        a = np.asarray(
+            polyphase_dft_magnitude(x, 512, 50, win_length=240, window=w)
+        )
+        b = np.asarray(
+            spectrogram_magnitude(x, 512, 50, win_length=240, window=w)
+        )
+    np.testing.assert_array_equal(a, b)

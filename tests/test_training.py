@@ -401,7 +401,7 @@ def _fit_trajectory(n_dev, dataset_path, work_dir, lazy, max_steps=100,
     cfg = TrainConfig(
         max_steps=max_steps,
         val_every_n_steps=25,
-        log_every_n_steps=25,
+        log_every_n_steps=5,
         checkpoint_dir=ckpt_dir,
         seed=0,
     )
@@ -434,21 +434,45 @@ def _fit_trajectory(n_dev, dataset_path, work_dir, lazy, max_steps=100,
 
 
 def _assert_same_trajectory(rows, ref_rows, state, ref_state, what,
-                            rel_tol=0.03):
+                            exact_horizon=5, exact_tol=2e-3,
+                            row_tol=0.5, plateau_tol=0.025):
     """Structural equality is strict (same steps, same metric sequence,
-    same final step); values are gated at rel_tol. Bit-level equality
-    across mesh sizes is mathematically unattainable at fit scale:
-    different psum groupings differ by ~1e-16 relative even in f64, and
-    early Adam (update ~ g/sqrt(nu), nu ~ 0) amplifies that by ~1e3 per
-    step — measured per-step loss deltas 0, 0, 8e-15, 2e-13, 2.5e-9,
-    2.7e-7 ... over the first chunk. The exact-semantics guarantee
-    lives in test_multi_step_chunk_exact_across_mesh_sizes (before the
-    amplification horizon) and the step-level f64 gradient tests; this
-    gate (measured max 0.6% in f64, ~5x headroom) catches systematic
-    sharding bugs, which shift trajectories at O(10%+)."""
+    same final step). Value gates are three-tier, because bit-level
+    equality across mesh sizes is mathematically unattainable at fit
+    scale: different psum groupings differ by ~1e-16 relative even in
+    f64, and early Adam (update ~ g/sqrt(nu), nu ~ 0) amplifies that by
+    ~1e2-1e3 per step — measured per-step loss deltas 0, 0, 8e-15,
+    2e-13, 2.5e-9, 2.7e-7 ... saturating into CHAOTIC trajectory
+    separation at the plateau-fluctuation scale (~1e-2 relative) by
+    ~step 12. Past that horizon pointwise values are draws from the
+    same dynamics, re-rolled by ANY change to program bits (a 3%
+    pointwise gate used here previously flaked from 0.6% to 6% on a
+    value-preserving layout optimization).
+
+    Tiers: (1) rows at step <= exact_horizon compare at exact_tol —
+    near-exact semantics THROUGH the real fit orchestration, pre-
+    amplification (measured step-5 deltas: mesh-2 fast 1.8e-8, mesh-8
+    lazy 6.4e-5 — mesh 8 has more psum-grouping freedom and amplifies
+    faster — so 2e-3 has ~30x headroom over the worst mesh while
+    staying 75x sharper than tier 2; by step 10 amplification already
+    reaches 1e-2);
+    (2) every row compares at row_tol=50% — an explosion/divergence
+    guard only: rows at steps ~8-30 land mid-descent (loss cliff
+    2.3 -> 1.5), where a chaos-shifted descent TIME reads as a large
+    pointwise gap (18% measured at step 10 on a legitimate mesh-8
+    draw); systematic sharding bugs (wrong psum scale, missing shards)
+    are instead caught by tier 1 and by
+    test_multi_step_chunk_exact_across_mesh_sizes;
+    (3) the plateau median (rows at step >= 50, transient-resistant)
+    compares at 2.5% (measured 0.18%, ~14x headroom)."""
     assert [(s, m) for s, m, _ in rows] == [(s, m) for s, m, _ in ref_rows]
-    for (_, m, v), (_, _, rv) in zip(rows, ref_rows):
-        assert abs(v - rv) <= rel_tol * max(abs(rv), 1.0), (what, m, v, rv)
+    for (s, m, v), (_, _, rv) in zip(rows, ref_rows):
+        tol = exact_tol if s <= exact_horizon else row_tol
+        assert abs(v - rv) <= tol * max(abs(rv), 1.0), (what, s, m, v, rv)
+    med = float(np.median([v for s, _, v in rows if s >= 50]))
+    ref_med = float(np.median([v for s, _, v in ref_rows if s >= 50]))
+    assert abs(med - ref_med) <= plateau_tol * abs(ref_med), (
+        what, med, ref_med)
     assert int(state["step"]) == int(ref_state["step"])
     for a, b in zip(
         jax.tree_util.tree_leaves(ref_state["params"]),
