@@ -47,7 +47,16 @@ def test_multichip_dryrun_self_sufficient():
     from a process whose jax backend is ALREADY initialized with a
     single device and whose env does NOT force a virtual device count —
     exactly the driver's situation. The entry point must build its own
-    forced virtual mesh (it relaunches in a subprocess)."""
+    forced virtual mesh (it relaunches in a subprocess).
+
+    The hostile parent pins itself to CPU via jax.config (not just env:
+    the session sitecustomize registers the axon TPU plugin in every
+    python process and JAX_PLATFORMS=cpu alone does not stop
+    jax.devices() from initializing it — during the 2026-08-17 tunnel
+    outage that init retried forever and wedged the suite here for the
+    full 900 s timeout). A CPU parent reproduces everything the
+    regression is about: backend initialized, exactly one device, no
+    forced virtual device count."""
     env = dict(os.environ)
     env.pop("NWS_TPU_PLATFORM", None)
     env["JAX_PLATFORMS"] = "cpu"  # avoid touching the real TPU in tests
@@ -58,6 +67,7 @@ def test_multichip_dryrun_self_sufficient():
     code = (
         "import sys; sys.path.insert(0, %r)\n"
         "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
         "assert jax.device_count() == 1, jax.devices()  # hostile parent\n"
         "import __graft_entry__ as g\n"
         "g.dryrun_multichip(8)\n" % REPO
