@@ -1,0 +1,258 @@
+"""Component-level breakdown of the training step, honestly timed.
+
+Where the step's milliseconds live, per subgraph, at real training
+shapes — the tool behind docs/DESIGN.md §3.2/§3.3 (those sections'
+numbers came from ad-hoc versions of exactly this harness; this CLI
+makes the measurement repeatable).
+
+Method (the only honest one on this tunneled runtime, CLAUDE.md rule 1):
+each probe runs N iterations inside ONE compiled ``lax.scan`` and is
+timed at two scan lengths around the fetch of the carry; the reported
+per-iteration time is (t_long - t_short) / (n_long - n_short), which
+cancels the flat dispatch/RTT cost. Two traps this harness explicitly
+defeats:
+
+* **Loop-invariant hoisting**: a probe whose input doesn't depend on
+  the scan carry is computed ONCE by XLA and the loop measures nothing
+  (the docs/DESIGN.md §3.2 "1.2 ms for 262M sines" incident). Every
+  probe perturbs its primary input by ``carry * 1e-30``.
+* **Dead-code elimination**: the probe result folds into the next
+  carry through a nonzero scale (``sum(out) * 1e-30``), so the body
+  cannot be elided.
+
+The full-train-step row scans REAL optimizer steps (state threaded as
+the carry, exactly ``trainer.make_multi_train_step``), so it is
+directly comparable to ``time_train_step.py``'s canonical number.
+
+Component rows measure the subgraph in isolation (fwd, and where it
+exists, fwd+bwd via ``jax.vjp`` with a ones cotangent). Isolated
+backward ≠ slice of the full backward (XLA fuses across boundaries),
+so rows need not sum to the total — they rank where the time goes.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import click
+import numpy as np
+
+from neural_waveshaping_synthesis_tpu import minigin as gin
+
+
+def _differential_scan_ms(body, n_short, n_long, repeats):
+    """Time body(carry) -> carry at two scan lengths; ms/iteration."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(n):
+        @jax.jit
+        def prog():
+            def step(c, _):
+                return body(c), None
+
+            out, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=n)
+            return out
+
+        np.asarray(prog())  # compile + warm
+        best = np.inf
+        for _ in range(repeats):
+            t0 = time.time()
+            np.asarray(prog())
+            best = min(best, time.time() - t0)
+        return best
+
+    return (run(n_long) - run(n_short)) * 1000.0 / (n_long - n_short)
+
+
+@click.command()
+@click.option("--gin-file", multiple=True, default=("gin/train/train_newt.gin",))
+@click.option("--batch-size", default=8)
+@click.option("--n-frames", default=500)
+@click.option("--bf16", is_flag=True, help="bfloat16 synthesis hot path")
+@click.option("--n-short", default=20, help="Short scan length")
+@click.option("--n-long", default=120, help="Long scan length")
+@click.option("--repeats", default=3, help="Timed dispatches per length (best kept)")
+@click.option("--probe", multiple=True,
+              help="Run only these probes (repeatable); default all")
+def main(gin_file, batch_size, n_frames, bf16, n_short, n_long, repeats, probe):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for f in gin_file:
+        gin.parse_config_file(os.path.join(repo, f) if not os.path.isabs(f) else f)
+    if bf16:
+        gin.parse_config("NeuralWaveshaping.compute_dtype = 'bfloat16'")
+
+    import jax
+    import jax.numpy as jnp
+
+    from neural_waveshaping_synthesis_tpu.models import NeuralWaveshaping
+    from neural_waveshaping_synthesis_tpu.training import (
+        TrainConfig,
+        init_train_state,
+    )
+    from neural_waveshaping_synthesis_tpu.training.loss import (
+        multi_resolution_stft_loss,
+    )
+    from neural_waveshaping_synthesis_tpu.training.trainer import (
+        compute_loss,
+        make_multi_train_step,
+        make_optimizer,
+    )
+
+    gin.validate_config()
+    model = NeuralWaveshaping()
+    cfg = TrainConfig()
+    dev = jax.devices()[0]
+    print(f"[profile_train_step] device={dev.platform} batch={batch_size} "
+          f"frames={n_frames} bf16={bf16} "
+          f"scan {n_short}/{n_long} x best-of-{repeats}")
+
+    b, tc = batch_size, n_frames
+    hop = int(model.control_hop)
+    ta = tc * hop
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((b, ta)) * 0.1, jnp.float32)
+    f0 = jnp.asarray(220.0 * 2.0 ** rng.uniform(0, 2, (b, tc)), jnp.float32)
+    control = jnp.asarray(rng.standard_normal((b, tc, 2)), jnp.float32)
+    batch = {"audio": audio, "f0": f0, "control": control}
+    key = jax.random.PRNGKey(1)
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0))
+    params = state["params"]
+
+    cd = jnp.dtype(model.compute_dtype)
+    f0_up = jnp.repeat(f0, hop, axis=1)
+    exciter = jnp.asarray(
+        rng.standard_normal((b, ta, model.n_waveshapers)) * 0.3, cd
+    )
+    embedding = jnp.asarray(rng.standard_normal((b, tc, 128)), cd)
+    newt_p = jax.tree_util.tree_map(lambda x: x.astype(cd), params["newt"])
+
+    def fwd_bwd(f, *args):
+        """sum(f(*args)) and grads wrt args — one fwd + one bwd pass."""
+        out, vjp = jax.vjp(
+            lambda *a: jnp.sum(f(*a)).astype(jnp.float32), *args
+        )
+        return out, vjp(jnp.float32(1.0))
+
+    # ---- probe registry ---------------------------------------------------
+    # each entry: name -> body(carry) -> new carry (see module docstring)
+    def _dep(x, c):
+        return x + (c * 1e-30).astype(x.dtype)
+
+    def p_full_step(c):
+        # real optimizer step; carry folds through the loss
+        nonlocal_state = {
+            "params": jax.tree_util.tree_map(
+                lambda x: _dep(x, c), state["params"]
+            ),
+            "opt_state": state["opt_state"],
+            "step": state["step"],
+            "loss_sum": state["loss_sum"],
+        }
+        loss, grads = jax.value_and_grad(
+            lambda p: compute_loss(model, p, batch, key)
+        )(nonlocal_state["params"])
+        opt = make_optimizer(cfg)
+        updates, _ = opt.update(
+            grads, nonlocal_state["opt_state"], nonlocal_state["params"]
+        )
+        import optax
+
+        new_p = optax.apply_updates(nonlocal_state["params"], updates)
+        return jnp.sum(new_p["harmonic_mixer"]["b"]) * 1e-30 + loss * 1e-30
+
+    def p_model_fwd(c):
+        out = model.apply(params, _dep(f0, c), control, key=key)
+        return jnp.sum(out) * 1e-30
+
+    def p_model_fwd_bwd(c):
+        loss, _ = fwd_bwd(
+            lambda p: model.apply(p, _dep(f0, c), control, key=key), params
+        )
+        return loss * 1e-30
+
+    def p_loss_fwd(c):
+        return multi_resolution_stft_loss(_dep(audio, c), audio) * 1e-30
+
+    def p_loss_fwd_bwd(c):
+        loss, _ = fwd_bwd(lambda x: multi_resolution_stft_loss(x, audio), _dep(audio, c))
+        return loss * 1e-30
+
+    def p_control(c):
+        emb, _ = model.get_embedding(params, _dep(control, c))
+        return jnp.sum(emb) * 1e-30
+
+    def p_control_fwd_bwd(c):
+        loss, _ = fwd_bwd(
+            lambda x: model.get_embedding(params, x)[0], _dep(control, c)
+        )
+        return loss * 1e-30
+
+    def p_exciter(c):
+        out = model.render_exciter(params, _dep(f0_up, c), key=key)
+        return jnp.sum(out) * 1e-30
+
+    def p_newt_fwd(c):
+        out = model.newt.apply(newt_p, _dep(exciter, c), embedding)
+        return jnp.sum(out) * 1e-30
+
+    def p_newt_fwd_bwd(c):
+        loss, _ = fwd_bwd(
+            lambda p, x: model.newt.apply(p, x, embedding),
+            newt_p, _dep(exciter, c),
+        )
+        return loss * 1e-30
+
+    def p_noise_branch(c):
+        h = model.noise_mlp.apply(params["h_generator"], _dep(embedding, c).astype(jnp.float32))
+        out = model.noise_synth.apply(h, key=key)
+        return jnp.sum(out) * 1e-30
+
+    def p_reverb(c):
+        out = model.reverb.apply(params["reverb"], _dep(audio, c))
+        return jnp.sum(out) * 1e-30
+
+    def p_adam(c):
+        opt = make_optimizer(cfg)
+        grads = jax.tree_util.tree_map(lambda x: _dep(x, c), params)
+        updates, _ = opt.update(grads, state["opt_state"], params)
+        leaves = jax.tree_util.tree_leaves(updates)
+        return sum(jnp.sum(u) for u in leaves) * 1e-30
+
+    probes = {
+        "full_train_step": p_full_step,
+        "model_fwd": p_model_fwd,
+        "model_fwd_bwd": p_model_fwd_bwd,
+        "loss_fwd": p_loss_fwd,
+        "loss_fwd_bwd": p_loss_fwd_bwd,
+        "control_gru_fwd": p_control,
+        "control_gru_fwd_bwd": p_control_fwd_bwd,
+        "exciter_fwd": p_exciter,
+        "newt_fwd": p_newt_fwd,
+        "newt_fwd_bwd": p_newt_fwd_bwd,
+        "noise_branch_fwd": p_noise_branch,
+        "reverb_fwd": p_reverb,
+        "adam_update": p_adam,
+    }
+    selected = list(probe) if probe else list(probes)
+    unknown = [s for s in selected if s not in probes]
+    if unknown:
+        raise click.UsageError(
+            f"unknown probes {unknown}; available: {list(probes)}"
+        )
+
+    width = max(len(s) for s in selected)
+    results = {}
+    for name in selected:
+        ms = _differential_scan_ms(probes[name], n_short, n_long, repeats)
+        results[name] = ms
+        print(f"  {name:<{width}}  {ms:8.3f} ms")
+    total = results.get("full_train_step")
+    if total:
+        print(f"[profile_train_step] full step {total:.1f} ms "
+              f"({1000.0 / total:.2f} steps/s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,7 @@ def run_cli(script, *args, timeout=600):
         "train.py",
         "resynthesise_dataset.py",
         "time_forward_pass.py",
+        "profile_train_step.py",
         "time_buffer_sizes.py",
         "timbre_transfer.py",
         "serving_capacity.py",
@@ -115,6 +116,25 @@ def test_time_forward_pass_cli():
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Device-only" in r.stdout
     assert "x realtime" in r.stdout
+
+
+def test_profile_train_step_cli():
+    """Component profiler runs every probe end-to-end at tiny shapes
+    (numbers are meaningless on CPU; this checks each probe traces,
+    compiles, and executes — incl. the vjp cotangent dtypes)."""
+    r = run_cli(
+        "profile_train_step.py",
+        "--batch-size", "1",
+        "--n-frames", "20",
+        "--n-short", "2",
+        "--n-long", "4",
+        "--repeats", "1",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    for name in ("full_train_step", "model_fwd_bwd", "loss_fwd_bwd",
+                 "newt_fwd_bwd", "adam_update"):
+        assert name in r.stdout
+    assert "full step" in r.stdout
 
 
 def test_serving_capacity_cli(tmp_path):
