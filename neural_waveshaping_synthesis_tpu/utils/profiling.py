@@ -51,3 +51,51 @@ class StageTimer:
 
     def report(self) -> str:
         return " | ".join(f"{k}: {v:.3f}s" for k, v in self.stages.items())
+
+
+def differential_scan_ms(body, n_short=20, n_long=120, repeats=3,
+                         init_carry=None):
+    """Per-iteration device time of ``body``, by differential scan.
+
+    The honest timing primitive on tunneled runtimes (CLAUDE.md rule 1:
+    ``block_until_ready`` returns early; a single-scan time carries the
+    flat dispatch RTT). Runs ``body(carry) -> carry`` for n_short and
+    n_long iterations inside ONE compiled ``lax.scan`` each, times the
+    fetch of the final carry, and reports
+    (t_long - t_short) / (n_long - n_short) in ms — the RTT and the
+    fetch cost cancel in the difference.
+
+    ``init_carry`` defaults to a float32 scalar; pass any pytree (e.g.
+    a streaming state) to thread real state instead. Scalar-carry
+    callers must make body's expensive computation depend on the carry
+    (e.g. perturb an input by ``carry * 1e-30``) or XLA hoists it out
+    of the loop and the measurement is fiction (docs/DESIGN.md §3.2),
+    and must fold the result into the returned carry at nonzero scale
+    or it is dead code. (A threaded state evolves every iteration, so
+    it defeats both traps by construction.) Used by
+    scripts/profile_train_step.py and scripts/profile_streaming_step.py.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if init_carry is None:
+        init_carry = jnp.float32(0.0)
+
+    def run(n):
+        @jax.jit
+        def prog():
+            def step(c, _):
+                return body(c), None
+
+            out, _ = jax.lax.scan(step, init_carry, None, length=n)
+            return out
+
+        jax.device_get(prog())  # compile + warm
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            jax.device_get(prog())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (run(n_long) - run(n_short)) * 1000.0 / (n_long - n_short)

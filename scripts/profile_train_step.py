@@ -31,7 +31,6 @@ so rows need not sum to the total — they rank where the time goes.
 """
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -39,31 +38,6 @@ import click
 import numpy as np
 
 from neural_waveshaping_synthesis_tpu import minigin as gin
-
-
-def _differential_scan_ms(body, n_short, n_long, repeats):
-    """Time body(carry) -> carry at two scan lengths; ms/iteration."""
-    import jax
-    import jax.numpy as jnp
-
-    def run(n):
-        @jax.jit
-        def prog():
-            def step(c, _):
-                return body(c), None
-
-            out, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=n)
-            return out
-
-        np.asarray(prog())  # compile + warm
-        best = np.inf
-        for _ in range(repeats):
-            t0 = time.time()
-            np.asarray(prog())
-            best = min(best, time.time() - t0)
-        return best
-
-    return (run(n_long) - run(n_short)) * 1000.0 / (n_long - n_short)
 
 
 @click.command()
@@ -98,6 +72,9 @@ def main(gin_file, batch_size, n_frames, bf16, n_short, n_long, repeats, probe):
         compute_loss,
         make_multi_train_step,
         make_optimizer,
+    )
+    from neural_waveshaping_synthesis_tpu.utils.profiling import (
+        differential_scan_ms,
     )
 
     gin.validate_config()
@@ -245,7 +222,7 @@ def main(gin_file, batch_size, n_frames, bf16, n_short, n_long, repeats, probe):
     width = max(len(s) for s in selected)
     results = {}
     for name in selected:
-        ms = _differential_scan_ms(probes[name], n_short, n_long, repeats)
+        ms = differential_scan_ms(probes[name], n_short, n_long, repeats)
         results[name] = ms
         print(f"  {name:<{width}}  {ms:8.3f} ms")
     total = results.get("full_train_step")

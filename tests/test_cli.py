@@ -35,6 +35,7 @@ def run_cli(script, *args, timeout=600):
         "resynthesise_dataset.py",
         "time_forward_pass.py",
         "profile_train_step.py",
+        "profile_streaming_step.py",
         "time_buffer_sizes.py",
         "timbre_transfer.py",
         "serving_capacity.py",
@@ -135,6 +136,23 @@ def test_profile_train_step_cli():
                  "newt_fwd_bwd", "adam_update"):
         assert name in r.stdout
     assert "full step" in r.stdout
+
+
+def test_profile_streaming_step_cli():
+    """Streaming component profiler runs every probe end-to-end at tiny
+    shapes, incl. threading the real StreamState through the scan."""
+    r = run_cli(
+        "profile_streaming_step.py",
+        "--batch-streams", "2",
+        "--buffer-size", "256",
+        "--n-short", "2",
+        "--n-long", "4",
+        "--repeats", "1",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    for name in ("full_step", "shaper", "reverb_fdl", "noise_filter_fir"):
+        assert name in r.stdout
+    assert "buffer budget" in r.stdout
 
 
 def test_serving_capacity_cli(tmp_path):
