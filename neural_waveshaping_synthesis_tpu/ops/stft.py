@@ -290,10 +290,13 @@ def polyphase_dft_magnitude(
         )
         out = term if out is None else out + term
     if r:
+        # kf == 0 (hop > n_fft: frames don't span even one block) makes
+        # this the only term — ``out`` is still None then.
         part = jax.lax.slice_in_dim(blocks, kf, kf + n_frames, axis=-2)[..., :r]
-        out = out + jnp.einsum(
+        term = jnp.einsum(
             "...nr,kr->...nk", part, atoms[:, kf * h :], precision=precision
         )
+        out = term if out is None else out + term
 
     power = out[..., :bins] ** 2 + out[..., bins:] ** 2
     return jnp.sqrt(jnp.maximum(power, eps))

@@ -162,11 +162,14 @@ def main(gin_file, batch_streams, buffer_size, n_short, n_long, repeats, probe):
         results[name] = ms
         print(f"  {name:<{width}}  {ms:8.3f} ms")
     total = results.get("full_step")
-    if total:
+    if total and total > 0:
         budget = 1000.0 * buffer_size / float(model.sample_rate)
-        print(f"[profile_streaming_step] full step {total:.3f} ms "
-              f"({budget / total:.0f} streams' real-time budget per step; "
-              f"buffer budget {budget:.1f} ms)")
+        headroom = budget / total
+        print(f"[profile_streaming_step] full step {total:.3f} ms for "
+              f"{batch_streams} streams — {headroom:.1f}x inside the "
+              f"{budget:.1f} ms buffer budget "
+              f"(device-side capacity ~{batch_streams * headroom:.0f} "
+              f"streams at this batch's per-stream cost)")
 
 
 if __name__ == "__main__":

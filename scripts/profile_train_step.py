@@ -16,12 +16,15 @@ defeats:
   the scan carry is computed ONCE by XLA and the loop measures nothing
   (the docs/DESIGN.md §3.2 "1.2 ms for 262M sines" incident). Every
   probe perturbs its primary input by ``carry * 1e-30``.
-* **Dead-code elimination**: the probe result folds into the next
-  carry through a nonzero scale (``sum(out) * 1e-30``), so the body
-  cannot be elided.
+* **Dead-code elimination**: everything a probe computes folds into
+  the next carry through a nonzero scale (``sum(out) * 1e-30``; for
+  fwd+bwd probes the reduction covers EVERY gradient leaf — discarding
+  any cotangent lets XLA prune that whole backward branch, which an
+  earlier version of this harness did, silently timing forward-only).
 
-The full-train-step row scans REAL optimizer steps (state threaded as
-the carry, exactly ``trainer.make_multi_train_step``), so it is
+The full-train-step row threads the REAL train state through the scan
+(params/opt_state/step evolve; the body is
+``trainer.make_multi_train_step``'s one_step verbatim), so it is
 directly comparable to ``time_train_step.py``'s canonical number.
 
 Component rows measure the subgraph in isolation (fwd, and where it
@@ -68,9 +71,10 @@ def main(gin_file, batch_size, n_frames, bf16, n_short, n_long, repeats, probe):
     from neural_waveshaping_synthesis_tpu.training.loss import (
         multi_resolution_stft_loss,
     )
+    import optax
+
     from neural_waveshaping_synthesis_tpu.training.trainer import (
         compute_loss,
-        make_multi_train_step,
         make_optimizer,
     )
     from neural_waveshaping_synthesis_tpu.utils.profiling import (
@@ -92,6 +96,7 @@ def main(gin_file, batch_size, n_frames, bf16, n_short, n_long, repeats, probe):
     audio = jnp.asarray(rng.standard_normal((b, ta)) * 0.1, jnp.float32)
     f0 = jnp.asarray(220.0 * 2.0 ** rng.uniform(0, 2, (b, tc)), jnp.float32)
     control = jnp.asarray(rng.standard_normal((b, tc, 2)), jnp.float32)
+    audio_tgt = jnp.asarray(rng.standard_normal((b, ta)) * 0.1, jnp.float32)
     batch = {"audio": audio, "f0": f0, "control": control}
     key = jax.random.PRNGKey(1)
     state = init_train_state(model, cfg, jax.random.PRNGKey(0))
@@ -102,115 +107,124 @@ def main(gin_file, batch_size, n_frames, bf16, n_short, n_long, repeats, probe):
     exciter = jnp.asarray(
         rng.standard_normal((b, ta, model.n_waveshapers)) * 0.3, cd
     )
-    embedding = jnp.asarray(rng.standard_normal((b, tc, 128)), cd)
+    emb_width = model.embedding.embedding_size
+    embedding = jnp.asarray(
+        rng.standard_normal((b, tc, emb_width)), cd
+    )
     newt_p = jax.tree_util.tree_map(lambda x: x.astype(cd), params["newt"])
 
     def fwd_bwd(f, *args):
-        """sum(f(*args)) and grads wrt args — one fwd + one bwd pass."""
+        """sum(f(*args)) + a reduction over ALL gradient leaves — one
+        fwd + one bwd pass, with every cotangent kept live (dropping
+        any lets XLA prune that backward branch)."""
         out, vjp = jax.vjp(
             lambda *a: jnp.sum(f(*a)).astype(jnp.float32), *args
         )
-        return out, vjp(jnp.float32(1.0))
+        grads = vjp(jnp.float32(1.0))
+        gsum = sum(
+            jnp.sum(g).astype(jnp.float32)
+            for g in jax.tree_util.tree_leaves(grads)
+        )
+        return out + gsum * 1e-30
 
     # ---- probe registry ---------------------------------------------------
     # each entry: name -> body(carry) -> new carry (see module docstring)
     def _dep(x, c):
         return x + (c * 1e-30).astype(x.dtype)
 
-    def p_full_step(c):
-        # real optimizer step; carry folds through the loss
-        nonlocal_state = {
-            "params": jax.tree_util.tree_map(
-                lambda x: _dep(x, c), state["params"]
-            ),
-            "opt_state": state["opt_state"],
-            "step": state["step"],
-            "loss_sum": state["loss_sum"],
-        }
-        loss, grads = jax.value_and_grad(
-            lambda p: compute_loss(model, p, batch, key)
-        )(nonlocal_state["params"])
-        opt = make_optimizer(cfg)
-        updates, _ = opt.update(
-            grads, nonlocal_state["opt_state"], nonlocal_state["params"]
-        )
-        import optax
+    def _fold(x):
+        return jnp.sum(x).astype(jnp.float32) * 1e-30
 
-        new_p = optax.apply_updates(nonlocal_state["params"], updates)
-        return jnp.sum(new_p["harmonic_mixer"]["b"]) * 1e-30 + loss * 1e-30
+    optimizer = make_optimizer(cfg)
+
+    def p_full_step(st):
+        # make_multi_train_step's one_step verbatim, real state carried
+        step_key = jax.random.fold_in(key, st["step"])
+        loss, grads = jax.value_and_grad(
+            lambda p: compute_loss(model, p, batch, step_key)
+        )(st["params"])
+        updates, opt_state = optimizer.update(
+            grads, st["opt_state"], st["params"]
+        )
+        return {
+            "params": optax.apply_updates(st["params"], updates),
+            "opt_state": opt_state,
+            "step": st["step"] + 1,
+            "loss_sum": st["loss_sum"] + loss,
+        }
 
     def p_model_fwd(c):
         out = model.apply(params, _dep(f0, c), control, key=key)
-        return jnp.sum(out) * 1e-30
+        return _fold(out)
 
     def p_model_fwd_bwd(c):
-        loss, _ = fwd_bwd(
+        return fwd_bwd(
             lambda p: model.apply(p, _dep(f0, c), control, key=key), params
-        )
-        return loss * 1e-30
+        ) * 1e-30
 
     def p_loss_fwd(c):
-        return multi_resolution_stft_loss(_dep(audio, c), audio) * 1e-30
+        return multi_resolution_stft_loss(_dep(audio, c), audio_tgt) * 1e-30
 
     def p_loss_fwd_bwd(c):
-        loss, _ = fwd_bwd(lambda x: multi_resolution_stft_loss(x, audio), _dep(audio, c))
-        return loss * 1e-30
+        return fwd_bwd(
+            lambda x: multi_resolution_stft_loss(x, audio_tgt),
+            _dep(audio, c),
+        ) * 1e-30
 
     def p_control(c):
         emb, _ = model.get_embedding(params, _dep(control, c))
-        return jnp.sum(emb) * 1e-30
+        return _fold(emb)
 
     def p_control_fwd_bwd(c):
-        loss, _ = fwd_bwd(
+        return fwd_bwd(
             lambda x: model.get_embedding(params, x)[0], _dep(control, c)
-        )
-        return loss * 1e-30
+        ) * 1e-30
 
     def p_exciter(c):
         out = model.render_exciter(params, _dep(f0_up, c), key=key)
-        return jnp.sum(out) * 1e-30
+        return _fold(out)
 
     def p_newt_fwd(c):
         out = model.newt.apply(newt_p, _dep(exciter, c), embedding)
-        return jnp.sum(out) * 1e-30
+        return _fold(out)
 
     def p_newt_fwd_bwd(c):
-        loss, _ = fwd_bwd(
+        return fwd_bwd(
             lambda p, x: model.newt.apply(p, x, embedding),
             newt_p, _dep(exciter, c),
-        )
-        return loss * 1e-30
+        ) * 1e-30
 
     def p_noise_branch(c):
-        h = model.noise_mlp.apply(params["h_generator"], _dep(embedding, c).astype(jnp.float32))
+        h = model.noise_mlp.apply(
+            params["h_generator"], _dep(embedding, c).astype(jnp.float32)
+        )
         out = model.noise_synth.apply(h, key=key)
-        return jnp.sum(out) * 1e-30
+        return _fold(out)
 
     def p_reverb(c):
         out = model.reverb.apply(params["reverb"], _dep(audio, c))
-        return jnp.sum(out) * 1e-30
+        return _fold(out)
 
     def p_adam(c):
-        opt = make_optimizer(cfg)
         grads = jax.tree_util.tree_map(lambda x: _dep(x, c), params)
-        updates, _ = opt.update(grads, state["opt_state"], params)
+        updates, _ = optimizer.update(grads, state["opt_state"], params)
         leaves = jax.tree_util.tree_leaves(updates)
-        return sum(jnp.sum(u) for u in leaves) * 1e-30
+        return sum(_fold(u) for u in leaves)
 
     probes = {
-        "full_train_step": p_full_step,
-        "model_fwd": p_model_fwd,
-        "model_fwd_bwd": p_model_fwd_bwd,
-        "loss_fwd": p_loss_fwd,
-        "loss_fwd_bwd": p_loss_fwd_bwd,
-        "control_gru_fwd": p_control,
-        "control_gru_fwd_bwd": p_control_fwd_bwd,
-        "exciter_fwd": p_exciter,
-        "newt_fwd": p_newt_fwd,
-        "newt_fwd_bwd": p_newt_fwd_bwd,
-        "noise_branch_fwd": p_noise_branch,
-        "reverb_fwd": p_reverb,
-        "adam_update": p_adam,
+        "full_train_step": (p_full_step, state),
+        "model_fwd": (p_model_fwd, None),
+        "model_fwd_bwd": (p_model_fwd_bwd, None),
+        "loss_fwd": (p_loss_fwd, None),
+        "loss_fwd_bwd": (p_loss_fwd_bwd, None),
+        "control_gru_fwd": (p_control, None),
+        "control_gru_fwd_bwd": (p_control_fwd_bwd, None),
+        "exciter_fwd": (p_exciter, None),
+        "newt_fwd": (p_newt_fwd, None),
+        "newt_fwd_bwd": (p_newt_fwd_bwd, None),
+        "noise_branch_fwd": (p_noise_branch, None),
+        "reverb_fwd": (p_reverb, None),
+        "adam_update": (p_adam, None),
     }
     selected = list(probe) if probe else list(probes)
     unknown = [s for s in selected if s not in probes]
@@ -222,7 +236,9 @@ def main(gin_file, batch_size, n_frames, bf16, n_short, n_long, repeats, probe):
     width = max(len(s) for s in selected)
     results = {}
     for name in selected:
-        ms = differential_scan_ms(probes[name], n_short, n_long, repeats)
+        body, init = probes[name]
+        ms = differential_scan_ms(body, n_short, n_long, repeats,
+                                  init_carry=init)
         results[name] = ms
         print(f"  {name:<{width}}  {ms:8.3f} ms")
     total = results.get("full_train_step")

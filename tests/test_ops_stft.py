@@ -80,7 +80,7 @@ def test_frame_signal_shape(rng):
 # ---------------------------------------------------------------------------
 @pytest.mark.parametrize(
     "n_fft,hop,win", [(1024, 120, 600), (2048, 240, 1200), (512, 50, 240),
-                      (256, 128, 256)]
+                      (256, 128, 256), (256, 512, 256)]
 )
 def test_polyphase_dft_matches_framed_fft(rng, n_fft, hop, win):
     """Bit-for-purpose parity with the framed-FFT spectrogram across
