@@ -529,6 +529,15 @@ class Trainer:
             # Chunked fast path: gcd-sized chunks of steps run as ONE
             # dispatch each (lax.scan inside jit); the host only builds
             # index matrices and reads one (chunk,) loss array per chunk.
+            # NWS_TPU_HOST_PROFILE=1 prints where the host-side wall
+            # time goes (dispatch RPCs vs the loss fetch that overlaps
+            # device compute vs val/checkpoint), for diagnosing gaps
+            # between end-to-end steps/s and the canonical device step.
+            from ..utils.profiling import StageTimer
+
+            host_timer = (
+                StageTimer() if os.environ.get("NWS_TPU_HOST_PROFILE") else None
+            )
             n = len(train_ds)
             index_pool: list = []
 
@@ -541,18 +550,36 @@ class Trainer:
                 del index_pool[:count]
                 return out
 
+            import contextlib
+
+            def stage(name):
+                return (
+                    host_timer.stage(name) if host_timer
+                    else contextlib.nullcontext()
+                )
+
             base_chunk = _chunk_length(cfg)
             while step < cfg.max_steps:
                 chunk = min(base_chunk, cfg.max_steps - step)
-                idx = take_indices(chunk * bs).reshape(chunk, bs)
-                batches = self._gather_chunk(device_data, jnp.asarray(idx))
-                state, losses = self._multi_step(state, batches, train_key)
+                with stage("indices"):
+                    idx = take_indices(chunk * bs).reshape(chunk, bs)
+                    idx_dev = jnp.asarray(idx)
+                with stage("gather_dispatch"):
+                    batches = self._gather_chunk(device_data, idx_dev)
+                with stage("step_dispatch"):
+                    state, losses = self._multi_step(state, batches, train_key)
                 step += chunk
                 self.last_progress = time.time()
                 if step % cfg.log_every_n_steps == 0 or step >= cfg.max_steps:
-                    log_window(float(np.asarray(losses).mean()), chunk)
+                    with stage("loss_fetch+device_wait"):
+                        mean_loss = float(np.asarray(losses).mean())
+                    with stage("log"):
+                        log_window(mean_loss, chunk)
                 if step % cfg.val_every_n_steps == 0 or step >= cfg.max_steps:
-                    run_val()
+                    with stage("val+checkpoint"):
+                        run_val()
+            if host_timer:
+                print(f"[trainer] host profile: {host_timer.report()}")
         else:
             # Generic path: iterator datamodules (lazy datasets). Batches
             # are BUFFERED and run through the same N-step scan program
