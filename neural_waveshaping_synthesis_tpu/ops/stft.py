@@ -230,6 +230,7 @@ def polyphase_dft_magnitude(
     pad_mode: str = "reflect",
     eps: float = 1e-8,
     precision=jax.lax.Precision.HIGHEST,
+    variant: str = "einsum",
 ) -> jnp.ndarray:
     """|STFT| of ``(..., T)`` -> ``(..., n_frames, n_fft//2+1)`` as a
     sum of dense MXU matmuls — same values as ``spectrogram_magnitude``
@@ -281,22 +282,55 @@ def polyphase_dft_magnitude(
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, nb * h - t)])
     blocks = x[..., : nb * h].reshape(x.shape[:-1] + (nb, h))
 
-    out = None
-    for i in range(kf):
-        part = jax.lax.slice_in_dim(blocks, i, i + n_frames, axis=-2)
-        term = jnp.einsum(
-            "...nh,kh->...nk", part, atoms[:, i * h : (i + 1) * h],
+    if variant == "einsum":
+        out = None
+        for i in range(kf):
+            part = jax.lax.slice_in_dim(blocks, i, i + n_frames, axis=-2)
+            term = jnp.einsum(
+                "...nh,kh->...nk", part, atoms[:, i * h : (i + 1) * h],
+                precision=precision,
+            )
+            out = term if out is None else out + term
+        if r:
+            # kf == 0 (hop > n_fft: frames don't span even one block)
+            # makes this the only term — ``out`` is still None then.
+            part = jax.lax.slice_in_dim(
+                blocks, kf, kf + n_frames, axis=-2
+            )[..., :r]
+            term = jnp.einsum(
+                "...nr,kr->...nk", part, atoms[:, kf * h :],
+                precision=precision,
+            )
+            out = term if out is None else out + term
+    elif variant == "conv":
+        # Same accumulation as ONE valid conv over the BLOCK axis:
+        # hop-sized blocks are the feature dim (h input channels),
+        # frames advance one block per hop, so a width-ceil(n_fft/h)
+        # kernel whose tap i is the basis section atoms[:, i*h:(i+1)*h]
+        # computes out[..., j, :] in a single (K = kf_pad*h >= n_fft)
+        # contraction — fewer, larger MXU ops than the einsum loop
+        # (same values; the block-level channel layout is what the
+        # failed sample-level NCH conv attempt lacked, training/loss.py
+        # history). A/B against "einsum" on hardware via
+        # scripts/profile_train_step.py --loss-variant.
+        kf_pad = kf + (1 if r else 0)
+        a = atoms
+        if r:
+            a = jnp.pad(atoms, ((0, 0), (0, kf_pad * h - n_fft)))
+        kernel = a.reshape(2 * bins, kf_pad, h)  # (O, W, I)
+        lead = blocks.shape[:-2]
+        inp = blocks.reshape((-1,) + blocks.shape[-2:])  # (N, nb, h)
+        out = jax.lax.conv_general_dilated(
+            inp,
+            jnp.transpose(kernel, (1, 2, 0)),  # (W, I, O)
+            window_strides=(1,),
+            padding="VALID",
+            dimension_numbers=("NHC", "HIO", "NHC"),
             precision=precision,
         )
-        out = term if out is None else out + term
-    if r:
-        # kf == 0 (hop > n_fft: frames don't span even one block) makes
-        # this the only term — ``out`` is still None then.
-        part = jax.lax.slice_in_dim(blocks, kf, kf + n_frames, axis=-2)[..., :r]
-        term = jnp.einsum(
-            "...nr,kr->...nk", part, atoms[:, kf * h :], precision=precision
-        )
-        out = term if out is None else out + term
+        out = out.reshape(lead + (n_frames, 2 * bins))
+    else:
+        raise ValueError(f"unknown polyphase variant {variant!r}")
 
     power = out[..., :bins] ** 2 + out[..., bins:] ** 2
     return jnp.sqrt(jnp.maximum(power, eps))

@@ -41,6 +41,7 @@ def stft_loss(
     w_sc: float = 1.0,
     w_log_mag: float = 1.0,
     eps: float = 1e-8,
+    spectrogram_variant: str = "einsum",
 ) -> jnp.ndarray:
     """Single-resolution STFT loss between input ``x`` and target ``y``.
 
@@ -56,17 +57,22 @@ def stft_loss(
     docs/DESIGN.md §3.3). An earlier strided-`conv_general_dilated`
     DFT attempt (n_fft-wide kernels, NCH) lowered even worse than
     framing; the polyphase block decomposition is what makes the
-    matmul form win. f64 inputs transparently use the framed-FFT path
-    (exact cross-mesh fit-equivalence contract).
+    matmul form win (the BLOCK-level conv equivalent is available as
+    ``spectrogram_variant="conv"`` for hardware A/B —
+    ``polyphase_dft_magnitude``'s docstring). f64 inputs transparently
+    use the framed-FFT path (exact cross-mesh fit-equivalence
+    contract).
     """
     from ..ops.stft import polyphase_dft_magnitude
 
     window = hann_window(win_length, periodic=True)
     x_mag = polyphase_dft_magnitude(
-        x, fft_size, hop_size, win_length=win_length, window=window, eps=eps
+        x, fft_size, hop_size, win_length=win_length, window=window,
+        eps=eps, variant=spectrogram_variant,
     )
     y_mag = polyphase_dft_magnitude(
-        y, fft_size, hop_size, win_length=win_length, window=window, eps=eps
+        y, fft_size, hop_size, win_length=win_length, window=window,
+        eps=eps, variant=spectrogram_variant,
     )
     sc = jnp.linalg.norm(y_mag - x_mag) / jnp.linalg.norm(y_mag)
     log_mag = jnp.mean(jnp.abs(jnp.log(y_mag) - jnp.log(x_mag)))
@@ -79,9 +85,12 @@ def multi_resolution_stft_loss(
     fft_sizes: Sequence[int] = DEFAULT_FFT_SIZES,
     hop_sizes: Sequence[int] = DEFAULT_HOP_SIZES,
     win_lengths: Sequence[int] = DEFAULT_WIN_LENGTHS,
+    spectrogram_variant: str = "einsum",
 ) -> jnp.ndarray:
     """Mean over resolutions of (spectral convergence + log-mag L1)."""
     total = 0.0
     for n_fft, hop, win in zip(fft_sizes, hop_sizes, win_lengths):
-        total = total + stft_loss(x, y, n_fft, hop, win)
+        total = total + stft_loss(
+            x, y, n_fft, hop, win, spectrogram_variant=spectrogram_variant
+        )
     return total / len(fft_sizes)

@@ -53,7 +53,11 @@ from neural_waveshaping_synthesis_tpu import minigin as gin
 @click.option("--repeats", default=3, help="Timed dispatches per length (best kept)")
 @click.option("--probe", multiple=True,
               help="Run only these probes (repeatable); default all")
-def main(gin_file, batch_size, n_frames, bf16, n_short, n_long, repeats, probe):
+@click.option("--loss-variant", default="einsum",
+              type=click.Choice(["einsum", "conv"]),
+              help="Polyphase spectrogram formulation for the loss probes")
+def main(gin_file, batch_size, n_frames, bf16, n_short, n_long, repeats,
+         probe, loss_variant):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for f in gin_file:
         gin.parse_config_file(os.path.join(repo, f) if not os.path.isabs(f) else f)
@@ -163,11 +167,15 @@ def main(gin_file, batch_size, n_frames, bf16, n_short, n_long, repeats, probe):
         ) * 1e-30
 
     def p_loss_fwd(c):
-        return multi_resolution_stft_loss(_dep(audio, c), audio_tgt) * 1e-30
+        return multi_resolution_stft_loss(
+            _dep(audio, c), audio_tgt, spectrogram_variant=loss_variant
+        ) * 1e-30
 
     def p_loss_fwd_bwd(c):
         return fwd_bwd(
-            lambda x: multi_resolution_stft_loss(x, audio_tgt),
+            lambda x: multi_resolution_stft_loss(
+                x, audio_tgt, spectrogram_variant=loss_variant
+            ),
             _dep(audio, c),
         ) * 1e-30
 

@@ -82,10 +82,12 @@ def test_frame_signal_shape(rng):
     "n_fft,hop,win", [(1024, 120, 600), (2048, 240, 1200), (512, 50, 240),
                       (256, 128, 256), (256, 512, 256)]
 )
-def test_polyphase_dft_matches_framed_fft(rng, n_fft, hop, win):
+@pytest.mark.parametrize("variant", ["einsum", "conv"])
+def test_polyphase_dft_matches_framed_fft(rng, n_fft, hop, win, variant):
     """Bit-for-purpose parity with the framed-FFT spectrogram across
     the auraloss default resolutions (incl. a hop-divides-frame case
-    with no partial block)."""
+    with no partial block and a hop > n_fft case), for both the
+    einsum-loop and block-conv formulations."""
     from neural_waveshaping_synthesis_tpu.ops.stft import (
         polyphase_dft_magnitude,
         spectrogram_magnitude,
@@ -97,7 +99,8 @@ def test_polyphase_dft_matches_framed_fft(rng, n_fft, hop, win):
         spectrogram_magnitude(x, n_fft, hop, win_length=win, window=w)
     )
     ours = np.asarray(
-        polyphase_dft_magnitude(x, n_fft, hop, win_length=win, window=w)
+        polyphase_dft_magnitude(x, n_fft, hop, win_length=win, window=w,
+                                variant=variant)
     )
     assert ours.shape == ref.shape
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
