@@ -56,13 +56,17 @@ from neural_waveshaping_synthesis_tpu import minigin as gin
 @click.option("--loss-variant", default="einsum",
               type=click.Choice(["einsum", "conv"]),
               help="Polyphase spectrogram formulation for the loss probes")
+@click.option("--gin-binding", multiple=True,
+              help="Extra gin bindings for A/Bs, e.g. 'NEWT.remat_shaper = True'")
 def main(gin_file, batch_size, n_frames, bf16, n_short, n_long, repeats,
-         probe, loss_variant):
+         probe, loss_variant, gin_binding):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for f in gin_file:
         gin.parse_config_file(os.path.join(repo, f) if not os.path.isabs(f) else f)
     if bf16:
         gin.parse_config("NeuralWaveshaping.compute_dtype = 'bfloat16'")
+    for b in gin_binding:
+        gin.parse_config(b)
 
     import jax
     import jax.numpy as jnp
