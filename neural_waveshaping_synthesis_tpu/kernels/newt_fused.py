@@ -31,9 +31,35 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.fastmath import TAU, _INV_TAU, _SIN_ODD_COEFFS, _COS_EVEN_COEFFS
+
 C = 64
 W = 8
 DEPTH = 4
+
+
+def _psin(x):
+    """Polynomial sine, inlined for Mosaic (ops/fastmath.py fast_sin).
+
+    Mosaic's `sin` lowering is slower than XLA's (measured — it was why
+    kernel v1 lost to the XLA chain at 58 vs 24 ms fwd in the exact-sin
+    era); the Horner form is pure VPU mul/add. No custom_jvp wrapper:
+    the kernel's backward is hand-written (cos factors below)."""
+    r = x - TAU * jnp.round(x * _INV_TAU)
+    s = r * r
+    p = jnp.asarray(_SIN_ODD_COEFFS[-1], x.dtype)
+    for c in _SIN_ODD_COEFFS[-2::-1]:
+        p = p * s + c
+    return r * p
+
+
+def _pcos(x):
+    r = x - TAU * jnp.round(x * _INV_TAU)
+    s = r * r
+    p = jnp.asarray(_COS_EVEN_COEFFS[-1], x.dtype)
+    for c in _COS_EVEN_COEFFS[-2::-1]:
+        p = p * s + c
+    return p
 
 
 def supports(shaper_cfg) -> bool:
@@ -90,17 +116,17 @@ def _forward_core(exc, film, scale, w1, b1, w2, b2, w3, b3, w4, b4):
     x = gi * exc + bi
     h0 = x * scale[0]
     p1 = [h0 * w1[w] + b1[w] for w in range(W)]
-    h1 = [jnp.sin(p) for p in p1]
+    h1 = [_psin(p) for p in p1]
     p2 = [
         sum(h1[w] * w2[w * W + v] for w in range(W)) + b2[v] for v in range(W)
     ]
-    h2 = [jnp.sin(p) for p in p2]
+    h2 = [_psin(p) for p in p2]
     p3 = [
         sum(h2[w] * w3[w * W + v] for w in range(W)) + b3[v] for v in range(W)
     ]
-    h3 = [jnp.sin(p) for p in p3]
+    h3 = [_psin(p) for p in p3]
     p4 = sum(h3[w] * w4[w] for w in range(W)) + b4[0]
-    s = jnp.sin(p4)
+    s = _psin(p4)
     out = gn * s + bn
     return out, (x, h0, p1, h1, p2, h2, p3, h3, p4, s, gi, gn)
 
@@ -140,13 +166,13 @@ def _bwd_kernel(
     dbn = dy
 
     # layer 4 backward
-    dp4 = ds * jnp.cos(p4)
+    dp4 = ds * _pcos(p4)
     dh3 = [dp4 * w4[w] for w in range(W)]
     dw4 = jnp.stack([jnp.sum(dp4 * h3[w], axis=0) for w in range(W)])  # (W, C)
     db4 = jnp.sum(dp4, axis=0)[None, :]
 
     # layer 3 backward
-    dp3 = [dh3[v] * jnp.cos(p3[v]) for v in range(W)]
+    dp3 = [dh3[v] * _pcos(p3[v]) for v in range(W)]
     dh2 = [
         sum(dp3[v] * w3[w * W + v] for v in range(W)) for w in range(W)
     ]
@@ -156,7 +182,7 @@ def _bwd_kernel(
     db3 = jnp.stack([jnp.sum(dp3[v], axis=0) for v in range(W)])
 
     # layer 2 backward
-    dp2 = [dh2[v] * jnp.cos(p2[v]) for v in range(W)]
+    dp2 = [dh2[v] * _pcos(p2[v]) for v in range(W)]
     dh1 = [
         sum(dp2[v] * w2[w * W + v] for v in range(W)) for w in range(W)
     ]
@@ -166,7 +192,7 @@ def _bwd_kernel(
     db2 = jnp.stack([jnp.sum(dp2[v], axis=0) for v in range(W)])
 
     # layer 1 backward
-    dp1 = [dh1[w] * jnp.cos(p1[w]) for w in range(W)]
+    dp1 = [dh1[w] * _pcos(p1[w]) for w in range(W)]
     dh0 = sum(dp1[w] * w1[w] for w in range(W))
     dw1 = jnp.stack([jnp.sum(dp1[w] * h0, axis=0) for w in range(W)])
     db1 = jnp.stack([jnp.sum(dp1[w], axis=0) for w in range(W)])

@@ -174,6 +174,12 @@ class TrainableNonlinearity:
     depth: int = 3
     nonlinearity: str = "sine"
     final_nonlinearity: str = "sine"
+    # "einsum": contraction via dot_general (see apply docstring).
+    # "unrolled": the same math as W separate (B, T, C) broadcast
+    # planes — no dot_general anywhere, so XLA can fuse the whole bank
+    # (mul/add/polynomial-sine chains) into loop fusions instead of
+    # materializing the (B, T, C, W) activation at each layer boundary.
+    formulation: str = "einsum"
 
     def _act(self, name):
         return {"sine": sine, "sine_exact": sine_exact,
@@ -214,16 +220,53 @@ class TrainableNonlinearity:
         activation choice since all apply the same sine count):
         block-diagonal MXU matmul (85 ms), width-leading wbtc einsum
         (no change), and two fused Pallas kernels (58 / 39.7 ms fwd —
-        kernels/newt_fused.py, kept as baselines).
+        kernels/newt_fused.py, kept as baselines). Post-fast_sin
+        re-A/Bs (2026-08-18, batch 8 probes, einsum = 15.1 ms fwd /
+        40.1 fwd+bwd): the Pallas kernel with the polynomial sine
+        in-kernel still loses (35.4 / 60.4 — Mosaic half-lane codegen),
+        and `formulation="unrolled"` below loses at 50.7 ms fwd (XLA
+        materializes each broadcast plane rather than fusing the DAG).
         """
         act = self._act(self.nonlinearity)
         final_act = self._act(self.final_nonlinearity)
+
+        if self.formulation == "unrolled" and self.depth >= 2:
+            return self._apply_unrolled(p, x, act, final_act)
 
         h = (x * p["input_scale"])[..., None]  # (B, T, C, 1)
         for i, layer in enumerate(p["layers"]):
             h = jnp.einsum("btcw,cwv->btcv", h, layer["w"]) + layer["b"]
             h = act(h) if i < self.depth - 1 else final_act(h)
         return h[..., 0]
+
+    def _apply_unrolled(self, p, x, act, final_act):
+        """Same values as the einsum path, expressed as W broadcast
+        planes of shape (B, T, C) with (C,)-vector weights — a pure
+        elementwise DAG (no dot_general), unrolled over the static
+        width so XLA's loop fusion can keep inter-layer activations in
+        registers instead of round-tripping (B, T, C, W) through HBM."""
+        w = self.width
+        h = x * p["input_scale"]  # (B, T, C)
+        first, *mid, last = p["layers"]
+        # 1 -> W
+        hs = [
+            act(h * first["w"][:, 0, v] + first["b"][:, v]) for v in range(w)
+        ]
+        # W -> W middle layers
+        for layer in mid:
+            hs = [
+                act(
+                    sum(hs[u] * layer["w"][:, u, v] for u in range(w))
+                    + layer["b"][:, v]
+                )
+                for v in range(w)
+            ]
+        # W -> 1
+        out = (
+            sum(hs[u] * last["w"][:, u, 0] for u in range(w))
+            + last["b"][:, 0]
+        )
+        return final_act(out)
 
     def bake_table(
         self, p: Params, table_size: int, table_min: float, table_max: float

@@ -90,10 +90,12 @@ class NEWT:
         the FastNEWT interpolated table lookup.
 
         ``fused`` selects the Pallas fused FiLM->shaper->FiLM kernel
-        (kernels/newt_fused.py). Default OFF: measured on v5e, the chain
-        is bound by VPU sine throughput, not HBM, and XLA's sin lowering
-        beats Mosaic's (fwd 31.8 ms XLA vs 57.9 ms fused at batch 8 x
-        4 s) — the kernel is kept as a verified-correct option and a
+        (kernels/newt_fused.py). Default OFF: measured on v5e at batch
+        8 x 4 s (profile_train_step newt probes, 2026-08-18), the
+        kernel loses to the XLA chain even with the polynomial sine
+        in-kernel — 35.4 ms fwd / 60.4 fwd+bwd vs XLA's 15.1 / 40.1;
+        the gap is Mosaic codegen on half-lane (TILE, 64) planes, not
+        transcendentals. Kept as a verified-correct option and a
         baseline for future Mosaic improvements.
         """
         fp = self.film_params(p, control_embedding)  # (B, Tc, 4C)

@@ -206,6 +206,16 @@ def main(gin_file, batch_size, n_frames, bf16, n_short, n_long, repeats,
             newt_p, _dep(exciter, c),
         ) * 1e-30
 
+    def p_newt_fwd_fused(c):
+        out = model.newt.apply(newt_p, _dep(exciter, c), embedding, fused=True)
+        return _fold(out)
+
+    def p_newt_fwd_bwd_fused(c):
+        return fwd_bwd(
+            lambda p, x: model.newt.apply(p, x, embedding, fused=True),
+            newt_p, _dep(exciter, c),
+        ) * 1e-30
+
     def p_noise_branch(c):
         h = model.noise_mlp.apply(
             params["h_generator"], _dep(embedding, c).astype(jnp.float32)
@@ -234,6 +244,8 @@ def main(gin_file, batch_size, n_frames, bf16, n_short, n_long, repeats,
         "exciter_fwd": (p_exciter, None),
         "newt_fwd": (p_newt_fwd, None),
         "newt_fwd_bwd": (p_newt_fwd_bwd, None),
+        "newt_fwd_fused": (p_newt_fwd_fused, None),
+        "newt_fwd_bwd_fused": (p_newt_fwd_bwd_fused, None),
         "noise_branch_fwd": (p_noise_branch, None),
         "reverb_fwd": (p_reverb, None),
         "adam_update": (p_adam, None),
