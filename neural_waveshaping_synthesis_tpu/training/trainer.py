@@ -19,6 +19,7 @@ Design: the step functions are pure (state, batch, key) -> (state,
 metrics), jit-compiled once with donated state; the Trainer object only
 orchestrates host-side concerns (data, checkpoints, logging).
 """
+import contextlib
 import dataclasses
 import json
 import os
@@ -515,15 +516,27 @@ class Trainer:
 
         def run_val():
             last_val_step[0] = step
-            val_loss = self.evaluate(
-                state["params"],
-                datamodule.val_batches(),
-                eval_key,
-                log_audio_step=step,
-            )
-            self._log({"val/loss": val_loss}, step)
-            self._log_params(state["params"], step)
-            self.save_checkpoint(manager, state, val_loss)
+            # sub-stage profiling under NWS_TPU_HOST_PROFILE: the
+            # val+checkpoint interval is the one fit stage that is pure
+            # host+RTT overhead, so its internal split (eval dispatches
+            # vs orbax saves) is what decides where to optimize.
+            from ..utils.profiling import StageTimer
+
+            vt = StageTimer() if os.environ.get("NWS_TPU_HOST_PROFILE") else None
+            with vt.stage("eval") if vt else contextlib.nullcontext():
+                val_loss = self.evaluate(
+                    state["params"],
+                    datamodule.val_batches(),
+                    eval_key,
+                    log_audio_step=step,
+                )
+            with vt.stage("log+params") if vt else contextlib.nullcontext():
+                self._log({"val/loss": val_loss}, step)
+                self._log_params(state["params"], step)
+            with vt.stage("checkpoint") if vt else contextlib.nullcontext():
+                self.save_checkpoint(manager, state, val_loss)
+            if vt:
+                print(f"[trainer] val profile @step {step}: {vt.report()}")
 
         if device_data is not None:
             # Chunked fast path: gcd-sized chunks of steps run as ONE
