@@ -54,6 +54,18 @@ INSTRUMENTS = {
         vib_hz=(4.5, 6.0), vib_depth=(0.03, 0.10),
         rolloff=(0.6, 1.2), even_gain=(0.85, 1.0), noise_level=0.012,
     ),
+    # Flute-like third instrument (reference checkpoints/nws/fl: flute,
+    # 120k steps): D-major scale in the flute register (D4-D6), nearly
+    # pure tone (steep harmonic rolloff, no even/odd suppression), the
+    # most breath noise of the three, soft releases, light 4.5-5.5 Hz
+    # vibrato, frequent short phrase breaths.
+    "fl": dict(
+        scale=np.array([62, 64, 66, 67, 69, 71, 73, 74, 76, 78, 79, 81, 83, 86]),
+        rest_p=0.16, rest_dur=(0.25, 0.9),
+        note_dur=(0.3, 1.6), attack=(0.015, 0.06), release=(0.05, 0.18),
+        vib_hz=(4.5, 5.5), vib_depth=(0.05, 0.15),
+        rolloff=(1.6, 2.6), even_gain=(0.7, 1.0), noise_level=0.035,
+    ),
 }
 
 

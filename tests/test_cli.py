@@ -81,6 +81,33 @@ def test_create_dataset_cli_end_to_end(tmp_path):
     assert n == 2  # 9 s, 4 s windows hopped 4 s
 
 
+@pytest.mark.parametrize("instrument", ["vn", "tpt", "fl"])
+def test_make_synthetic_corpus_instruments(tmp_path, instrument):
+    """Each instrument spec renders a sane, deterministic wav: correct
+    length/rate, peak-normalized to 0.6, audible RMS, and substantial
+    voiced content (the preprocessing confidence filter needs voiced
+    frames to keep segments at all)."""
+    out = tmp_path / instrument
+    r = run_cli(
+        "make_synthetic_corpus.py",
+        "--output-directory", str(out),
+        "--n-files", "1", "--duration", "6", "--instrument", instrument,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    files = os.listdir(out)
+    assert len(files) == 1
+    sr, audio = wavfile.read(out / files[0])
+    assert sr == 16000 and len(audio) == 6 * sr
+    a = audio.astype(np.float32) / 32767.0  # int16 on disk
+    peak = np.abs(a).max()
+    assert 0.55 <= peak <= 0.61, peak
+    assert np.sqrt((a ** 2).mean()) > 0.01
+    # voiced content: most 100 ms windows carry energy
+    w = a[: (len(a) // 1600) * 1600].reshape(-1, 1600)
+    active = (np.abs(w).max(axis=1) > 0.05).mean()
+    assert active > 0.5, active
+
+
 def test_device_failure_recovery_predicate():
     sys.path.insert(0, SCRIPTS)
     try:
