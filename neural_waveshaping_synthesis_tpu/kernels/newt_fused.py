@@ -239,10 +239,18 @@ def _pad_rows(a: jnp.ndarray, tile: int) -> jnp.ndarray:
     return a
 
 
+def _interpret_here(interpret: bool) -> bool:
+    """Pallas TPU kernels only run compiled on TPU; on the CPU backend
+    (tests, the forced-CPU harness) fall back to interpret mode so the
+    fused path works everywhere instead of erroring."""
+    return interpret or jax.default_backend() == "cpu"
+
+
 def _run_fwd(exc2, film2, weights, tile, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    interpret = _interpret_here(interpret)
     rows = exc2.shape[0]
     exc_p, film_p = _pad_rows(exc2, tile), _pad_rows(film2, tile)
     n_tiles = exc_p.shape[0] // tile
@@ -271,6 +279,7 @@ def _run_bwd(exc2, film2, dy2, weights, tile, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    interpret = _interpret_here(interpret)
     rows = exc2.shape[0]
     exc_p = _pad_rows(exc2, tile)
     film_p = _pad_rows(film2, tile)
