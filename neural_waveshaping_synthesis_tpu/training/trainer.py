@@ -563,8 +563,6 @@ class Trainer:
                 del index_pool[:count]
                 return out
 
-            import contextlib
-
             def stage(name):
                 return (
                     host_timer.stage(name) if host_timer
