@@ -1,6 +1,7 @@
 """Checkpoint interchange round trip: reference .ckpt -> pytree ->
 reference state_dict -> pytree must be the identity, and a freshly
 trained pytree must export to the exact reference tensor naming."""
+import glob
 import os
 
 import numpy as np
@@ -18,15 +19,23 @@ from neural_waveshaping_synthesis_tpu.convert.to_torch import (
 )
 from neural_waveshaping_synthesis_tpu.models import NeuralWaveshaping
 
-CKPT = "/root/reference/checkpoints/nws/vn/last.ckpt"
+CKPT_ROOT = "/root/reference/checkpoints/nws"
+# All six shipped checkpoint files: {vn,fl,tpt} x {last, best-epoch}.
+# Best-epoch filenames differ per run (SURVEY.md §2a #27) — glob them.
+ALL_CKPTS = sorted(glob.glob(os.path.join(CKPT_ROOT, "*", "*.ckpt")))
 needs_ckpt = pytest.mark.skipif(
-    not os.path.exists(CKPT), reason="reference checkpoint not available"
+    not ALL_CKPTS, reason="reference checkpoints not available"
 )
 
 
 @needs_ckpt
-def test_roundtrip_identity():
-    ckpt = load_lightning_checkpoint(CKPT)
+@pytest.mark.parametrize(
+    "ckpt_path",
+    ALL_CKPTS or ["<missing>"],
+    ids=[os.path.relpath(p, CKPT_ROOT) for p in ALL_CKPTS] or ["missing"],
+)
+def test_roundtrip_identity(ckpt_path):
+    ckpt = load_lightning_checkpoint(ckpt_path)
     params = convert_state_dict(ckpt["state_dict"])
     back = params_to_reference_state_dict(params)
 

@@ -29,15 +29,34 @@ from neural_waveshaping_synthesis_tpu.models import (
     TrainableNonlinearity,
 )
 
-CKPT = "/root/reference/checkpoints/nws/vn/last.ckpt"
+CKPT_ROOT = "/root/reference/checkpoints/nws"
+CKPT = os.path.join(CKPT_ROOT, "vn", "last.ckpt")
 needs_ckpt = pytest.mark.skipif(
     not os.path.exists(CKPT), reason="reference checkpoint not available"
 )
 
 
-@pytest.fixture(scope="module")
-def ckpt():
-    return load_lightning_checkpoint(CKPT)
+def _instrument_ckpt(instrument):
+    """Path to the pinned checkpoint for one shipped instrument.
+
+    vn pins ``last.ckpt`` (the original golden); fl and tpt pin their
+    best-epoch files, whose names differ per training run
+    (epoch=4992-step=119831 / epoch=358-step=24052) — glob, don't
+    hardcode, so the suite exercises the reference's real filename
+    variety (SURVEY.md §2a #27)."""
+    import glob
+
+    d = os.path.join(CKPT_ROOT, instrument)
+    if instrument == "vn":
+        return os.path.join(d, "last.ckpt")
+    matches = sorted(glob.glob(os.path.join(d, "epoch=*.ckpt")))
+    assert matches, f"no best-epoch checkpoint under {d}"
+    return matches[0]
+
+
+@pytest.fixture(scope="module", params=["vn", "fl", "tpt"])
+def ckpt(request):
+    return load_lightning_checkpoint(_instrument_ckpt(request.param))
 
 
 @pytest.fixture(scope="module")
