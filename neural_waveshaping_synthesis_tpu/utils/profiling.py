@@ -54,7 +54,7 @@ class StageTimer:
 
 
 def differential_scan_ms(body, n_short=20, n_long=120, repeats=3,
-                         init_carry=None):
+                         init_carry=None, args=()):
     """Per-iteration device time of ``body``, by differential scan.
 
     The honest timing primitive on tunneled runtimes (CLAUDE.md rule 1:
@@ -74,27 +74,36 @@ def differential_scan_ms(body, n_short=20, n_long=120, repeats=3,
     or it is dead code. (A threaded state evolves every iteration, so
     it defeats both traps by construction.) Used by
     scripts/profile_train_step.py and scripts/profile_streaming_step.py.
+
+    ``args``: extra loop-invariant operands, passed as
+    ``body(carry, *args)``. Large operands MUST ride here (or in the
+    carry) rather than in ``body``'s closure: closed-over arrays are
+    baked into the program as constants and shipped with the
+    size-limited remote compile request — a few hundred MB of closure
+    constants fails compilation outright (HTTP 413).
     """
     import jax
     import jax.numpy as jnp
 
     if init_carry is None:
         init_carry = jnp.float32(0.0)
+    init_carry = jax.device_put(init_carry)
+    args = tuple(jax.device_put(a) for a in args)
 
     def run(n):
         @jax.jit
-        def prog():
+        def prog(init, *a):
             def step(c, _):
-                return body(c), None
+                return body(c, *a), None
 
-            out, _ = jax.lax.scan(step, init_carry, None, length=n)
+            out, _ = jax.lax.scan(step, init, None, length=n)
             return out
 
-        jax.device_get(prog())  # compile + warm
+        jax.device_get(prog(init_carry, *args))  # compile + warm
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
-            jax.device_get(prog())
+            jax.device_get(prog(init_carry, *args))
             best = min(best, time.perf_counter() - t0)
         return best
 

@@ -20,6 +20,15 @@ stays under budget. Inputs are uploaded from host numpy per push
 (per-buffer controls arrive from clients in a real deployment); with
 ``--fetch-int16`` the device casts to int16 before the fetch, halving
 the bytes on the link — the wire format of 16-bit wav clients.
+
+The verdict is SELF-CALIBRATING: cadence on a tunneled runtime depends
+on the link's state as much as on the chip (RESULTS.md §9 measured 256
+streams in one window and 128 in a degraded-link window on identical
+code), so the same run measures the no-op dispatch round trip and the
+per-MB fetch bandwidth before AND after the sweep, labels the link
+(healthy / degraded), emits both as CSV columns, and stamps the
+capacity line with the label — a future reader can tell which regime
+their number came from without archaeology.
 """
 import os
 import sys
@@ -50,10 +59,13 @@ import pandas as pd
 @click.option("--fetch-int16", is_flag=True,
               help="Cast to int16 on device before fetching (16-bit "
                    "wav wire format; halves link bytes)")
+@click.option("--rtt-healthy-ms", default=30.0,
+              help="Link no-op RTT p50 above this labels the run "
+                   "'degraded' (RESULTS.md §9's two regimes)")
 @click.option("--output-csv", default="serving_capacity.csv")
 def main(gin_file, gin_binding, checkpoint, buffer_size, batches,
          pipeline_depth, iterations, warmup, percentile, fetch_int16,
-         output_csv):
+         rtt_healthy_ms, output_csv):
     import jax
     import jax.numpy as jnp
 
@@ -104,6 +116,44 @@ def main(gin_file, gin_binding, checkpoint, buffer_size, batches,
 
     step = jit_step_for("int16" if fetch_int16 else "float32")
     wire = "int16" if fetch_int16 else "float32"
+
+    def measure_link(reps=25):
+        """(no-op dispatch RTT p50 ms, fetch bandwidth MB/s) right now.
+
+        RTT: dispatch a trivial jitted program and fetch its scalar —
+        the flat per-call cost every serial step pays on this runtime.
+        Fetch BW: device_get of a 4 MB device-resident array, RTT
+        subtracted, per-MB rate.
+        """
+        noop = jax.jit(lambda v: v + 1.0)
+        v = jnp.float32(0.0)
+        float(noop(v))  # compile
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            v = noop(v)
+            float(v)
+            ts.append(time.perf_counter() - t0)
+        rtt_ms = float(np.percentile(np.asarray(ts) * 1e3, 50))
+
+        # A FRESH array per rep: jax caches an array's host copy, so
+        # re-fetching the same buffer is free after the first call.
+        mb = 16.0
+        bump = jax.jit(lambda b, s: b + s)
+        buf = jnp.zeros((int(mb * 1024 * 1024 // 4),), jnp.float32)
+        np.asarray(bump(buf, 0.0))  # compile/materialize
+        ts = []
+        for i in range(max(reps // 3, 5)):
+            t0 = time.perf_counter()
+            np.asarray(bump(buf, float(i + 1)))
+            ts.append(time.perf_counter() - t0)
+        per_fetch_ms = float(np.percentile(np.asarray(ts) * 1e3, 50))
+        bw = mb / max(per_fetch_ms - rtt_ms, 1e-3) * 1e3
+        return rtt_ms, bw
+
+    rtt_pre, fetch_bw_pre = measure_link()
+    print(f"link (pre-sweep): no-op RTT p50 {rtt_pre:.1f} ms, "
+          f"fetch {fetch_bw_pre:.0f} MB/s")
 
     rows = []
     rng = np.random.default_rng(0)
@@ -166,12 +216,29 @@ def main(gin_file, gin_binding, checkpoint, buffer_size, batches,
             "aggregate_msamples_per_s": agg / 1e6,
         })
 
+    rtt_post, fetch_bw_post = measure_link()
+    print(f"link (post-sweep): no-op RTT p50 {rtt_post:.1f} ms, "
+          f"fetch {fetch_bw_post:.0f} MB/s")
+    # gate on the WORSE of the two windows: a link that degraded
+    # mid-sweep taints the whole sweep
+    rtt = max(rtt_pre, rtt_post)
+    fetch_bw = min(fetch_bw_pre, fetch_bw_post)
+    link_state = "healthy" if rtt <= rtt_healthy_ms else "degraded"
+    for row in rows:
+        row.update(
+            link_rtt_ms=rtt, link_fetch_mbps=fetch_bw,
+            link_state=link_state,
+        )
+
     pd.DataFrame(rows).to_csv(output_csv, index=False)
     print(f"wrote {output_csv}")
     print(
         f"capacity: {capacity} concurrent real-time streams per chip "
         f"(@{buffer_size}-sample buffers, p{percentile:g} cadence < "
-        f"{budget_ms:.1f} ms, wire {wire})"
+        f"{budget_ms:.1f} ms, wire {wire}) — link {link_state} "
+        f"(no-op RTT p50 {rtt:.1f} ms <= {rtt_healthy_ms:g} ms "
+        f"threshold{'' if link_state == 'healthy' else ' EXCEEDED'}, "
+        f"fetch {fetch_bw:.0f} MB/s)"
     )
 
 

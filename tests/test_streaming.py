@@ -174,6 +174,140 @@ def test_pipelined_priming_and_flush(streaming_setup, rng):
         streamer.pop()
 
 
+def test_streaming_matches_matched_oracle_sample_exact(rng):
+    """Chunked streaming with carried state == ONE-SHOT full-sequence
+    render with the stream's own semantics, in the sample domain.
+
+    The loose spectral test below compares against the OFFLINE graph,
+    whose semantics legitimately differ (half-frame interpolation
+    shift, per-call phases, circular reverb); a real streaming-state
+    bug (mis-carried GRU state, phase accumulator, noise OLA tail,
+    reverb delay line) can hide inside its 0.85-overlap gate. This
+    oracle injects every documented delta — the stream's phase_offset
+    and noise key chain, segment interpolation from the same initial
+    carry, a linear reverb — so the only thing left to differ IS the
+    chunking, and asserts golden-level nRMS. (Floor: the one-shot
+    phase cumsum reduction tree differs from the chunked one by
+    f32 eps of the accumulated phase — CLAUDE.md rule 10 — which at
+    this clip length is ~1e-4 audio nRMS, inside the 1e-3 gate.)
+    """
+    from neural_waveshaping_synthesis_tpu.models import (
+        ControlModule,
+        FIRNoiseSynth,
+        HarmonicOscillator,
+        NEWT,
+        NeuralWaveshaping,
+        Reverb,
+        TimeDistributedMLP,
+    )
+    from neural_waveshaping_synthesis_tpu.models.modules import dense_apply
+    from neural_waveshaping_synthesis_tpu.ops.fir import (
+        windowed_fir_from_magnitude,
+    )
+    from neural_waveshaping_synthesis_tpu.ops.stft import frame_signal
+    from neural_waveshaping_synthesis_tpu.streaming.synth import (
+        _segment_interp,
+    )
+
+    # A tiny model whose noise branch HAS a cross-buffer overlap
+    # (ir_length = 2*hop -> r=2), unlike tiny_model's r=1 — the OLA
+    # carry is exactly the kind of state this test exists to pin.
+    model = NeuralWaveshaping(
+        n_waveshapers=8,
+        control_hop=32,
+        sample_rate=4000,
+        embedding=ControlModule(2, 32, 32),
+        osc=HarmonicOscillator(n_harmonics=16, sample_rate=4000),
+        newt=NEWT(
+            n_waveshapers=8,
+            control_embedding_size=32,
+            shaping_fn_size=4,
+            shaping_fn_depth=3,
+        ),
+        noise_mlp=TimeDistributedMLP(32, 32, 33, depth=3),
+        noise_synth=FIRNoiseSynth(ir_length=64, hop_length=32),
+        reverb=Reverb(length_in_seconds=1, sr=4000),
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    synth = StreamingSynth(model, buffer_frames=4)
+    hop, k_frames, n_buffers = synth.hop, synth.buffer_frames, 12
+    b, tc = 2, 4 * n_buffers
+    ta = tc * hop
+    c = model.n_waveshapers
+    n_fft = model.noise_synth.ir_length
+    r = n_fft // hop
+
+    f0 = jnp.asarray(
+        110.0 * 2.0 ** rng.uniform(0, 1, (b, tc)), jnp.float32
+    )
+    control = jnp.asarray(rng.standard_normal((b, tc, 2)), jnp.float32)
+
+    # ---- streamed: n_buffers chunked steps with carried state ----------
+    root_key = jax.random.PRNGKey(3)
+    state = synth.init_state(params, b, root_key)
+    step = jax.jit(synth.step)
+    chunks = []
+    for i in range(n_buffers):
+        sl = slice(i * k_frames, (i + 1) * k_frames)
+        audio, state = step(params, state, f0[:, sl], control[:, sl])
+        chunks.append(np.asarray(audio))
+    streamed = np.concatenate(chunks, axis=-1)
+
+    # ---- matched one-shot oracle ---------------------------------------
+    # replicate init_state's key split and the per-step noise chain
+    k_phase, k_state = jax.random.split(root_key)
+    phase_offset = (
+        jax.random.uniform(k_phase, (b, model.osc.n_harmonics)) * 2 * jnp.pi
+        - jnp.pi
+    )
+    key, noises = k_state, []
+    for _ in range(n_buffers):
+        key, k_noise = jax.random.split(key)
+        noises.append(jax.random.uniform(k_noise, (b, k_frames * hop)))
+    noise_full = jnp.concatenate(noises, axis=-1)  # (b, ta)
+
+    emb, _ = model.embedding.apply(params["embedding"], control[..., :2])
+    film = model.newt.film_params(params["newt"], emb)  # (b, tc, 4C)
+    h_re = model.noise_mlp.apply(params["h_generator"], emb)
+
+    f0_aud = _segment_interp(
+        jnp.zeros((b, 1)), f0[..., None], hop
+    )[..., 0]
+    film_aud = _segment_interp(jnp.zeros((b, 4 * c)), film, hop)
+
+    bank = model.osc.apply(f0_aud, phase_offset=phase_offset)
+    exciter = dense_apply(params["harmonic_mixer"], bank)
+    gi, bi = film_aud[..., :c], film_aud[..., c : 2 * c]
+    gn, bn = film_aud[..., 2 * c : 3 * c], film_aud[..., 3 * c :]
+    x = gi * exciter + bi
+    x = model.newt.shaping_fn.apply(params["newt"]["shaping_fn"], x)
+    x = gn * x + bn
+    shaped = dense_apply(params["newt"]["mixer"], x)[..., 0]
+
+    # noise branch one-shot: same zero-primed prefix, frame/filter/OLA
+    noise_sig = jnp.concatenate(
+        [jnp.zeros((b, n_fft - hop)), noise_full], axis=-1
+    )
+    frames = frame_signal(noise_sig, n_fft, hop)  # (b, tc, n_fft)
+    spec = jnp.fft.rfft(frames, axis=-1) * windowed_fir_from_magnitude(h_re)
+    frames_out = jnp.fft.irfft(spec, n=n_fft, axis=-1)
+    parts = frames_out.reshape(b, tc, r, hop)
+    blocks = jnp.zeros((b, tc + r - 1, hop))
+    for i in range(r):
+        blocks = blocks.at[:, i : i + tc].add(parts[:, :, i])
+    noise_audio = blocks.reshape(b, (tc + r - 1) * hop)[:, :ta] / r
+
+    dry = shaped + noise_audio
+    ir = model.reverb.impulse_response(params["reverb"])
+    wet = fft_convolve_full(dry, ir)[..., :ta]
+    oracle = np.asarray(dry + wet)
+
+    assert streamed.shape == oracle.shape == (b, ta)
+    err = np.sqrt(np.mean((streamed - oracle) ** 2))
+    scale = np.sqrt(np.mean(oracle**2)) + 1e-12
+    assert err / scale < 1e-3, f"streaming-vs-oracle nRMS {err / scale}"
+
+
 def test_streaming_approximates_offline_render(streaming_setup, rng):
     """A streamed render should spectrally match the offline graph on
     steady-state content (semantics differ by a half-frame interpolation
