@@ -42,6 +42,17 @@ class NEWT:
     # for not storing the (B, Ta, C, W) inter-layer activations — the
     # training step's dominant HBM traffic (models/modules.py apply()).
     remat_shaper: bool = False
+    # default for apply()'s ``fused`` argument: None/False = XLA einsum
+    # chain, True = half-lane Pallas kernel, 'full_lane' = the (R/2,
+    # 128)-lane recomputing kernel. The full-lane kernel WINS fwd+bwd
+    # on v5e (32.5 vs 40.1 ms at canonical train shape, tile 128) but
+    # LOSES forward-only (18.0 vs 15.1), so it is opted into by the
+    # training gin configs, not globally (profile_train_step probes,
+    # 2026-08-18; full train step 44.1 vs 57.4 ms, time_train_step).
+    # Engaged on the TPU backend only — on CPU (tests, the driver's
+    # virtual-mesh dryrun) apply() keeps the einsum path rather than
+    # crawling through Pallas interpret mode.
+    fused: Optional[str] = None
 
     @property
     def mlp(self) -> TimeDistributedMLP:
@@ -89,27 +100,38 @@ class NEWT:
         If ``lookup_table`` (S, C) is given, the shaper bank is replaced by
         the FastNEWT interpolated table lookup.
 
-        ``fused`` selects the Pallas fused FiLM->shaper->FiLM kernel
-        (kernels/newt_fused.py). Default OFF: measured on v5e at batch
-        8 x 4 s (profile_train_step newt probes, 2026-08-18), the
-        kernel loses to the XLA chain even with the polynomial sine
-        in-kernel — 35.4 ms fwd / 60.4 fwd+bwd vs XLA's 15.1 / 40.1;
-        the gap is Mosaic codegen on half-lane (TILE, 64) planes, not
-        transcendentals. Kept as a verified-correct option and a
-        baseline for future Mosaic improvements.
+        ``fused`` selects a Pallas fused FiLM->shaper->FiLM kernel
+        (kernels/newt_fused.py): True = half-lane (TILE, 64) planes,
+        'full_lane' = row-paired (TILE, 128) planes. None defers to
+        the ``NEWT.fused`` field (TPU backend only). Measured on v5e
+        at batch 8 x 4 s (profile_train_step newt probes, 2026-08-18):
+        full_lane wins fwd+bwd 32.5 ms vs XLA's 40.1 but loses
+        forward-only 18.0 vs 15.1, so training configs opt in while
+        inference keeps the XLA chain — see the field comment above.
         """
         fp = self.film_params(p, control_embedding)  # (B, Tc, 4C)
         fp = linear_upsample(fp, exciter.shape[1])  # (B, Ta, 4C)
         c = self.n_waveshapers
 
         if fused is None:
-            fused = False
+            fused = (
+                self.fused
+                if self.fused and jax.default_backend() == "tpu"
+                else False
+            )
         if fused and lookup_table is None:
             from ..kernels import newt_fused
 
             if newt_fused.supports(self.shaping_fn):
-                weights = newt_fused.pack_weights(p["shaping_fn"])
-                x = newt_fused.film_shaper_fused(exciter, fp, weights)
+                if fused in ("full_lane", "fl"):
+                    # (R/2, 128)-lane variant: all VPU ops full-lane
+                    # (Mosaic half-lane codegen measured ~2x slower,
+                    # scripts/roofline_shaper.py pallas_fma64 vs 128)
+                    weights = newt_fused.pack_weights_fl(p["shaping_fn"])
+                    x = newt_fused.film_shaper_fused_fl(exciter, fp, weights)
+                else:
+                    weights = newt_fused.pack_weights(p["shaping_fn"])
+                    x = newt_fused.film_shaper_fused(exciter, fp, weights)
                 return dense_apply(p["mixer"], x)
 
         gamma_idx, beta_idx, gamma_norm, beta_norm = (

@@ -216,6 +216,18 @@ def main(gin_file, batch_size, n_frames, bf16, n_short, n_long, repeats,
             newt_p, _dep(exciter, c),
         ) * 1e-30
 
+    def p_newt_fwd_fused_fl(c):
+        out = model.newt.apply(
+            newt_p, _dep(exciter, c), embedding, fused="full_lane"
+        )
+        return _fold(out)
+
+    def p_newt_fwd_bwd_fused_fl(c):
+        return fwd_bwd(
+            lambda p, x: model.newt.apply(p, x, embedding, fused="full_lane"),
+            newt_p, _dep(exciter, c),
+        ) * 1e-30
+
     def p_noise_branch(c):
         h = model.noise_mlp.apply(
             params["h_generator"], _dep(embedding, c).astype(jnp.float32)
@@ -246,6 +258,8 @@ def main(gin_file, batch_size, n_frames, bf16, n_short, n_long, repeats,
         "newt_fwd_bwd": (p_newt_fwd_bwd, None),
         "newt_fwd_fused": (p_newt_fwd_fused, None),
         "newt_fwd_bwd_fused": (p_newt_fwd_bwd_fused, None),
+        "newt_fwd_fused_fl": (p_newt_fwd_fused_fl, None),
+        "newt_fwd_bwd_fused_fl": (p_newt_fwd_bwd_fused_fl, None),
         "noise_branch_fwd": (p_noise_branch, None),
         "reverb_fwd": (p_reverb, None),
         "adam_update": (p_adam, None),

@@ -241,27 +241,37 @@ def main_impl(n_short, n_long, repeats, skip_pallas, batch, n_frames):
         ) * 1e-30
 
     weights = newt_fused.pack_weights(p)
+    weights_fl = newt_fused.pack_weights_fl(p)
 
-    def p_fused_fwd(cr, e, f):
-        return fold(newt_fused.film_shaper_fused(dep(e, cr), f, weights))
+    def make_fused_probes(fn, w):
+        def p_fused_fwd(cr, e, f):
+            return fold(fn(dep(e, cr), f, w))
 
-    def p_fused_fwd_bwd(cr, e, f):
-        out, vjp = jax.vjp(
-            lambda x, ff: jnp.sum(
-                newt_fused.film_shaper_fused(x, ff, weights)
-            ),
-            dep(e, cr), f,
-        )
-        grads = vjp(jnp.float32(1.0))
-        return out * 1e-30 + sum(
-            jnp.sum(g) for g in jax.tree_util.tree_leaves(grads)
-        ) * 1e-30
+        def p_fused_fwd_bwd(cr, e, f):
+            out, vjp = jax.vjp(
+                lambda x, ff: jnp.sum(fn(x, ff, w)), dep(e, cr), f,
+            )
+            grads = vjp(jnp.float32(1.0))
+            return out * 1e-30 + sum(
+                jnp.sum(g) for g in jax.tree_util.tree_leaves(grads)
+            ) * 1e-30
+
+        return p_fused_fwd, p_fused_fwd_bwd
+
+    p_fused_fwd, p_fused_fwd_bwd = make_fused_probes(
+        newt_fused.film_shaper_fused, weights
+    )
+    p_fl_fwd, p_fl_fwd_bwd = make_fused_probes(
+        newt_fused.film_shaper_fused_fl, weights_fl
+    )
 
     shaper_rows = [("shaper_fwd", p_fwd), ("shaper_fwd_bwd", p_fwd_bwd)]
     if not skip_pallas and on_tpu:
         shaper_rows += [
             ("shaper_fused_fwd", p_fused_fwd),
             ("shaper_fused_fwd_bwd", p_fused_fwd_bwd),
+            ("shaper_fused_fl_fwd", p_fl_fwd),
+            ("shaper_fused_fl_fwd_bwd", p_fl_fwd_bwd),
         ]
     print(f"[roofline] shaper probes at B={b} T={ta} C={c} "
           f"({n_elem / 1e6:.1f}M elements)")
@@ -300,11 +310,20 @@ def main_impl(n_short, n_long, repeats, skip_pallas, batch, n_frames):
     #   bytes: fwd 24 + bwd read exc+film+dy (24) + write dexc (4)
     #   + dfilm (16) = 68 B/elem
     cb, mb = floor_ms(fwd_m + (fwd_m + bwd_m), fwd_s + (fwd_s + bwd_s), 68)
-    meas_f = results["shaper_fwd"][0]
-    meas_b = results["shaper_fwd_bwd"][0]
+    meas_f = min(
+        results[k][0]
+        for k in ("shaper_fwd", "shaper_fused_fwd", "shaper_fused_fl_fwd")
+        if k in results
+    )
+    meas_b = min(
+        results[k][0]
+        for k in ("shaper_fwd_bwd", "shaper_fused_fwd_bwd",
+                  "shaper_fused_fl_fwd_bwd")
+        if k in results
+    )
     print("[roofline] FiLM+shaper+FiLM floors at measured ceilings "
           f"(fma {fma_rate/1e9:.0f} G/s, psin {sin_rate/1e9:.1f} G/s, "
-          f"hbm {bw/1e9:.0f} GB/s):")
+          f"hbm {bw/1e9:.0f} GB/s); measured = best formulation present:")
     print(f"  fwd:     compute {cf:6.2f} ms | memory {mf:6.2f} ms | "
           f"floor {max(cf, mf):6.2f} ms | measured {meas_f:6.2f} ms "
           f"({meas_f / max(cf, mf):4.1f}x floor)")

@@ -34,7 +34,10 @@ from neural_waveshaping_synthesis_tpu import minigin as gin
 @click.option("--bf16", is_flag=True, help="bfloat16 compute in the synthesis graph")
 @click.option("--remat", is_flag=True, help="rematerialize the shaper bank in backward")
 @click.option("--trace-dir", default="", help="Write a jax.profiler trace of one timed dispatch")
-def main(gin_file, batch_size, n_frames, scan_steps, repeats, bf16, remat, trace_dir):
+@click.option("--gin-binding", multiple=True,
+              help="Extra gin bindings for A/Bs, e.g. \"NEWT.fused = 'full_lane'\"")
+def main(gin_file, batch_size, n_frames, scan_steps, repeats, bf16, remat,
+         trace_dir, gin_binding):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for f in gin_file:
         gin.parse_config_file(os.path.join(repo, f) if not os.path.isabs(f) else f)
@@ -42,6 +45,8 @@ def main(gin_file, batch_size, n_frames, scan_steps, repeats, bf16, remat, trace
         gin.parse_config("NeuralWaveshaping.compute_dtype = 'bfloat16'")
     if remat:
         gin.parse_config("NEWT.remat_shaper = True")
+    for b in gin_binding:
+        gin.parse_config(b)
 
     import jax
     import jax.numpy as jnp

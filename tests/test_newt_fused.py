@@ -86,6 +86,108 @@ def test_gradients_match_autodiff(setup):
         )
 
 
+def test_full_lane_forward_matches_xla_chain(setup):
+    newt, params, exciter, fp = setup
+    ref = reference_chain(newt.shaping_fn, params, exciter, fp)
+    weights = newt_fused.pack_weights_fl(params["shaping_fn"])
+    out = newt_fused.film_shaper_fused_fl(exciter, fp, weights, 256, True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_full_lane_gradients_match_autodiff(setup):
+    """Grads THROUGH pack_weights_fl: the lane-tiling concat's VJP sums
+    the two half-lane cotangents, so differentiating w.r.t. the shaper
+    pytree end-to-end checks both the kernel's weight grads and the
+    tiled layout's correctness."""
+    newt, params, exciter, fp = setup
+
+    def loss_fused(exc, f, sp):
+        w = newt_fused.pack_weights_fl(sp)
+        return jnp.sum(
+            newt_fused.film_shaper_fused_fl(exc, f, w, 256, True) ** 2
+        )
+
+    def loss_ref(exc, f, sp):
+        return jnp.sum(
+            reference_chain(newt.shaping_fn, {"shaping_fn": sp}, exc, f) ** 2
+        )
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(
+        exciter, fp, params["shaping_fn"]
+    )
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        exciter, fp, params["shaping_fn"]
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_fused), jax.tree_util.tree_leaves(g_ref)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-2
+        )
+
+
+def test_newt_apply_full_lane_matches_default(setup):
+    """NEWT.apply(fused='full_lane') == the default einsum path."""
+    newt, params, exciter, _ = setup
+    rng = np.random.default_rng(3)
+    emb = jnp.asarray(
+        rng.standard_normal((2, 5, newt.control_embedding_size)),
+        jnp.float32,
+    )
+    ref = newt.apply(params, exciter[:, :600], emb)
+    out = newt.apply(params, exciter[:, :600], emb, fused="full_lane")
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_full_lane_bf16_forward_and_f32_weight_grads(setup):
+    """bf16 activations: forward tracks the bf16 XLA chain, and the
+    weight grads — accumulated in f32 inside the kernel (_bwd_core
+    rsum) and cast once at the end — stay within bf16 rounding of the
+    FLOAT32 chain's grads instead of compounding per-tile bf16 error
+    across the sequential grid."""
+    newt, params, exciter, fp = setup
+    to_bf16 = lambda t: jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16), t
+    )
+    sp16, exc16, fp16 = to_bf16(params["shaping_fn"]), to_bf16(exciter), to_bf16(fp)
+
+    ref16 = reference_chain(newt.shaping_fn, {"shaping_fn": sp16}, exc16, fp16)
+    w16 = newt_fused.pack_weights_fl(sp16)
+    out16 = newt_fused.film_shaper_fused_fl(exc16, fp16, w16, 128, True)
+    np.testing.assert_allclose(
+        np.asarray(out16, np.float32), np.asarray(ref16, np.float32),
+        rtol=0.06, atol=0.06,
+    )
+
+    def loss16(sp):
+        w = newt_fused.pack_weights_fl(sp)
+        return jnp.sum(
+            newt_fused.film_shaper_fused_fl(exc16, fp16, w, 128, True)
+            .astype(jnp.float32) ** 2
+        )
+
+    def loss32(sp):
+        return jnp.sum(
+            reference_chain(newt.shaping_fn, {"shaping_fn": sp}, exciter, fp)
+            ** 2
+        )
+
+    g16 = jax.grad(loss16)(sp16)
+    g32 = jax.grad(loss32)(params["shaping_fn"])
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g16), jax.tree_util.tree_leaves(g32)
+    ):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-30)
+        # bf16 forward + f32 reductions: a few percent, not O(1)
+        assert rel < 0.08, f"bf16 weight-grad rel {rel:.3f}"
+
+
 def test_newt_apply_fused_flag_matches(setup):
     """NEWT.apply(fused=True, interpret via kernel default off on CPU):
     exercise the dispatch plumbing with the fused path forced through
