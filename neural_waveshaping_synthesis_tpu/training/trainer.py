@@ -65,6 +65,17 @@ class TrainConfig:
     # values statistically (tests/test_training.py
     # _assert_same_trajectory).
     adam_eps: float = 1e-8
+    # Lazy-path wire format: ship chunk AUDIO host->device as int16
+    # (dequantized to f32 on device, inside the jitted chunk program) —
+    # audio is ~98% of the chunk bytes and int16 quarters them. On THIS
+    # tunneled runtime it buys nothing measurable (8.8 vs 8.7 steps/s,
+    # scripts/bench_data_path.py 2026-08-18: the lazy gap there is
+    # fixed per-call overhead, not bandwidth — DESIGN §2); kept as a
+    # tested opt-in for bandwidth-bound links. Opt-in also because it
+    # quantizes the loss target to 16 bits (~3e-5 — source-WAV
+    # fidelity, but eager/lazy equivalence is only bit-exact with it
+    # off).
+    lazy_int16_wire: bool = False
 
 
 def make_lr_schedule(cfg: TrainConfig) -> optax.Schedule:
@@ -312,6 +323,23 @@ class Trainer:
         )
         self._multi_step = jax.jit(
             make_multi_train_step(model, cfg),
+            in_shardings=(rep, chunk_sharding, rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+        # int16-wire variant (TrainConfig.lazy_int16_wire): same chunk
+        # program behind an on-device dequant of the audio leaf
+        _multi = make_multi_train_step(model, cfg)
+
+        def _multi_step_from_i16(state, batches, key):
+            dec = dict(batches)
+            dec["audio"] = batches["audio"].astype(jnp.float32) * (
+                1.0 / 32767.0
+            )
+            return _multi(state, dec, key)
+
+        self._multi_step_i16 = jax.jit(
+            _multi_step_from_i16,
             in_shardings=(rep, chunk_sharding, rep),
             out_shardings=(rep, rep),
             donate_argnums=(0,),
@@ -595,10 +623,18 @@ class Trainer:
             # Generic path: iterator datamodules (lazy datasets). Batches
             # are BUFFERED and run through the same N-step scan program
             # as the fast path — one dispatch (and one host->device
-            # transfer) per chunk instead of per step. This lifts the
-            # lazy path from ~20x slower (per-step round trips through
-            # the tunnel) to within a few x of the on-device fast path;
-            # stragglers at epoch boundaries flush as single steps.
+            # transfer) per chunk instead of per step. Measured at the
+            # canonical harness (scripts/bench_data_path.py, batch 8,
+            # v5e, 2026-08-18): 9.5 steps/s vs the on-device fast
+            # path's 22.3 (2.35x); the per-step round-trip cliff this
+            # replaced was ~20x. The gap is TRANSFER-bound (device_put
+            # measures 10-43 MB/s through the tunnel; host assembly is
+            # ~20 ms/step) — a deferred-loss-fetch overlap of assembly
+            # with device compute was implemented and measured to buy
+            # nothing (9.1 steps/s: transfers serialize with compute on
+            # this runtime), so the fix that ships is the int16 audio
+            # wire (TrainConfig.lazy_int16_wire) that quarters the
+            # bytes instead.
             chunk_len = _chunk_length(cfg)
 
             next_log = (step // cfg.log_every_n_steps + 1) * cfg.log_every_n_steps
@@ -628,15 +664,28 @@ class Trainer:
                     len(buffered) >= chunk_len
                     and step + chunk_len <= cfg.max_steps
                 ):
+                    def encode(k, arr):
+                        if cfg.lazy_int16_wire and k == "audio":
+                            return np.clip(
+                                np.round(arr * 32767.0), -32768, 32767
+                            ).astype(np.int16)
+                        return arr
+
                     chunk_batches = {
                         k: jax.device_put(
-                            np.stack([b[k] for b in buffered[:chunk_len]]),
+                            encode(k, np.stack(
+                                [b[k] for b in buffered[:chunk_len]]
+                            )),
                             self._chunk_sharding[k],
                         )
                         for k in ("audio", "f0", "control")
                     }
                     del buffered[:chunk_len]
-                    state, losses = self._multi_step(
+                    step_fn = (
+                        self._multi_step_i16
+                        if cfg.lazy_int16_wire else self._multi_step
+                    )
+                    state, losses = step_fn(
                         state, chunk_batches, train_key
                     )
                     step += chunk_len

@@ -41,6 +41,44 @@ def test_lazy_trains_via_generic_path(synthetic_dataset, tmp_path):  # noqa: F81
     assert int(state["step"]) == 2
 
 
+def test_lazy_int16_wire_matches_f32_wire(synthetic_dataset, tmp_path):  # noqa: F811
+    """TrainConfig.lazy_int16_wire: the on-device dequant reproduces the
+    f32-wire chunk path to 16-bit quantization error — same step count,
+    per-window losses within the quantization-induced jitter."""
+    from neural_waveshaping_synthesis_tpu.training import TrainConfig, Trainer
+
+    losses = {}
+    for name, i16 in (("f32", False), ("i16", True)):
+        cfg = TrainConfig(
+            max_steps=4,
+            val_every_n_steps=4,
+            log_every_n_steps=2,
+            checkpoint_dir=str(tmp_path / f"ck_{name}"),
+            lazy_int16_wire=i16,
+        )
+        dm = GeneralDataModule(
+            synthetic_dataset, batch_size=8, load_to_memory=False
+        )
+        trainer = Trainer(tiny_model(), cfg)
+        logged = []
+
+        class Spy:
+            def log_metrics(self, metrics, step):
+                if "train/loss" in metrics:
+                    logged.append((step, metrics["train/loss"]))
+
+        trainer.loggers.append(Spy())
+        state = trainer.fit(dm)
+        assert int(state["step"]) == 4
+        losses[name] = logged
+
+    assert [s for s, _ in losses["f32"]] == [s for s, _ in losses["i16"]]
+    for (_, a), (_, b) in zip(losses["f32"], losses["i16"]):
+        # 16-bit target quantization (~3e-5 amplitude) through the
+        # log-magnitude MR-STFT loss: small relative jitter, not drift
+        assert abs(a - b) / max(abs(a), 1e-9) < 0.02, (a, b)
+
+
 def test_lazy_chunked_path_stragglers_and_cadence(synthetic_dataset, tmp_path):  # noqa: F811
     """Chunked lazy training with a max_steps that is NOT a multiple of
     the chunk length: 3 full chunks of gcd(2,4)=2 then one single-step
