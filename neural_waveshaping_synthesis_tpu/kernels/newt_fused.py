@@ -547,3 +547,302 @@ def _fused_bwd_fl(tile, interpret, residuals, dy):
 
 
 film_shaper_fused_fl.defvjp(_fused_fwd_fl, _fused_bwd_fl)
+
+
+# ---------------------------------------------------------------------------
+# control-rate variant: the FiLM upsample folded into the kernel
+# ---------------------------------------------------------------------------
+# The full-lane kernel above still reads its FiLM parameters at AUDIO
+# rate: the (B, Ta, 4C) array (524 MB f32 at the canonical train shape)
+# is materialized in HBM by the XLA upsample program, read by the fwd
+# kernel, read AGAIN by the recomputing bwd kernel, and its (B, Ta, 4C)
+# cotangent is written back and segment-summed by an XLA transpose —
+# ~2.6 GB of traffic whose only content is 4 MB of control-rate frames
+# linearly interpolated (reference shaping.py:69 upsamples the same
+# way). This variant takes the film at CONTROL rate and interpolates
+# in-kernel.
+#
+# Geometry: tile = hop full-lane rows = 2*hop audio samples = exactly 2
+# control hops. The control film is padded with ONE replicated frame at
+# each end (padded row p holds frame p-1), which makes the
+# align_corners=False edge clamping automatic; tile j then needs padded
+# frames [2j, 2j+4). Mosaic requires block sublane dims divisible by 8
+# or equal to the array dim, so overlapping height-2 blocks of the
+# padded array don't lower; instead `_windows_cr` pre-builds a
+# (B*tiles, 4, 4C) per-tile window array with four strided slices
+# (gather-free, control-rate — 16 MB vs the 524 MB it replaces) whose
+# (1, 4, 4C) blocks are legal (4 == array dim). The interpolation
+# weight is computed with the same single f32 division as
+# ops/upsample.py _linear_upsample_integer, so the f32 forward is
+# BIT-identical to linear_upsample + chain (tested).
+def _interp_w_cr(hop, is_first, dtype):
+    """Per-element (hop, 2C) interpolation state for one tile.
+
+    Returns (irel, w): irel in {0,1,2} indexes the left padded frame
+    relative to the tile's first block row; w is the lerp weight in
+    ``dtype``, computed exactly as _linear_upsample_integer's
+    ``(2o+1±hop)/(2*hop)`` (one division of exact-integer f32
+    operands). The head clamp (first half-hop of the clip copies frame
+    0 exactly) is folded in as w=0 — left*(1-0)+right*0 ≡ left
+    bit-exactly, matching the chain's explicit head select."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hop, 2 * C), 0)
+    half = (jax.lax.broadcasted_iota(jnp.int32, (hop, 2 * C), 1) >= C)
+    u = 2 * rows + half.astype(jnp.int32)  # audio sample within tile
+    num = (2 * u + 1 + hop).astype(jnp.float32)  # exact ints < 2^24
+    den = jnp.float32(2 * hop)
+    irel = jnp.floor(num / den)  # {0., 1., 2.}; exact at multiples
+    w32 = (num - irel * den) / den  # single division, chain-exact
+    head = (2 * u + 1 < hop) & is_first
+    w32 = jnp.where(head, jnp.float32(0.0), w32)
+    return irel.astype(jnp.int32), w32.astype(dtype), w32
+
+
+def _film_planes_cr(win, irel, w32, out_dtype):
+    """(4, 4C) padded-frame window -> 4 full-lane (hop, 2C) film planes.
+
+    ``win`` holds padded frames [2j, 2j+4) for tile j; each frame's
+    per-param (1, C) row is lane-tiled to (1, 2C) (both lane halves
+    carry the same channel values, like pack_weights_fl) and the
+    per-element lerp selects among the four frames by ``irel``.
+
+    Select + lerp run in f32 regardless of ``out_dtype``: under bf16
+    Mosaic cannot relayout the irel-compare i1 mask from its native
+    (8, 128) tiling to the (16, 128) tiling bf16 selects want
+    ("Invalid relayout ... vector<128x128xi1>"), and the f32 lerp of a
+    bf16-rounded film is at least as accurate. In f32 the trailing
+    cast is a no-op, keeping the chain bit-exactness (tested)."""
+    frames = tuple(
+        win[i : i + 1, :].astype(jnp.float32) for i in range(4)
+    )
+    planes = []
+    for a in range(4):
+        tiled = [
+            jnp.concatenate([f[:, a * C : (a + 1) * C]] * 2, axis=1)
+            for f in frames
+        ]
+        left = jnp.where(
+            irel == 0, tiled[0], jnp.where(irel == 1, tiled[1], tiled[2])
+        )
+        right = jnp.where(
+            irel == 0, tiled[1], jnp.where(irel == 1, tiled[2], tiled[3])
+        )
+        planes.append(
+            (left * (1.0 - w32) + right * w32).astype(out_dtype)
+        )
+    return tuple(planes)
+
+
+def _fold_dfilm_cr(dplanes, irel, w32):
+    """Audio-rate film cotangent planes -> (4, 4C) per-tile window
+    gradient (the upsample's segment-sum transpose, done in-tile;
+    window row p accumulates every sample whose lerp touches padded
+    frame 2j+p). f32 accumulation for the same reason as _bwd_core's
+    rsum."""
+    rows = [[], [], [], []]  # per padded-window row p: per-param (1, C)
+    for a in range(4):
+        d32 = dplanes[a].astype(jnp.float32)
+        dl = d32 * (1.0 - w32)
+        dr = d32 * w32
+        for p in range(4):
+            contrib = jnp.zeros_like(d32)
+            if p <= 2:
+                contrib += jnp.where(irel == p, dl, 0.0)
+            if p >= 1:
+                contrib += jnp.where(irel == p - 1, dr, 0.0)
+            s = jnp.sum(contrib, axis=0, keepdims=True)  # (1, 2C)
+            rows[p].append(s[:, :C] + s[:, C:])  # fold lane halves
+    r = [jnp.concatenate(rows[p], axis=1) for p in range(4)]  # (1, 4C)
+    return jnp.concatenate(r, axis=0)
+
+
+def _fwd_kernel_cr(
+    hop, tpb,
+    exc_ref, win_ref, scale_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    w3_ref, b3_ref, w4_ref, b4_ref, out_ref,
+):
+    from jax.experimental import pallas as pl
+
+    is_first = pl.program_id(0) % tpb == 0
+    irel, _, w32 = _interp_w_cr(hop, is_first, exc_ref.dtype)
+    gi, bi, gn, bn = _film_planes_cr(win_ref[0], irel, w32, exc_ref.dtype)
+    out, _ = _forward_core(
+        exc_ref[:], gi, bi, gn, bn, scale_ref[:], w1_ref[:], b1_ref[:],
+        w2_ref[:], b2_ref[:], w3_ref[:], b3_ref[:], w4_ref[:], b4_ref[:],
+    )
+    out_ref[:] = out
+
+
+def _bwd_kernel_cr(
+    hop, tpb,
+    exc_ref, win_ref, dy_ref, scale_ref, w1_ref, b1_ref, w2_ref,
+    b2_ref, w3_ref, b3_ref, w4_ref, b4_ref,
+    dexc_ref, dwin_ref, dscale_ref, dw1_ref, db1_ref, dw2_ref,
+    db2_ref, dw3_ref, db3_ref, dw4_ref, db4_ref,
+):
+    from jax.experimental import pallas as pl
+
+    is_first = pl.program_id(0) % tpb == 0
+    irel, _, w32 = _interp_w_cr(hop, is_first, exc_ref.dtype)
+    film_planes = _film_planes_cr(win_ref[0], irel, w32, exc_ref.dtype)
+    dexc, dplanes, wgrads = _bwd_core(
+        exc_ref[:], film_planes, dy_ref[:], scale_ref[:],
+        w1_ref[:], b1_ref[:], w2_ref[:], b2_ref[:], w3_ref[:], b3_ref[:],
+        w4_ref[:], b4_ref[:],
+    )
+    dexc_ref[:] = dexc
+    dwin_ref[0] = _fold_dfilm_cr(dplanes, irel, w32)
+    _accumulate_wgrads(
+        wgrads,
+        (dscale_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref,
+         dw4_ref, db4_ref),
+    )
+
+
+def supports_cr(shaper_cfg, n_audio: int, n_control: int) -> bool:
+    """True when the control-rate fused kernel applies: shipped
+    architecture, integer even hop, even control length (tile = 2 hops
+    must divide the clip)."""
+    if not supports(shaper_cfg):
+        return False
+    if n_control < 2 or n_control % 2 or n_audio % n_control:
+        return False
+    hop = n_audio // n_control
+    return hop >= 2 and hop % 2 == 0
+
+
+def _pad_film_cr(film_c: jnp.ndarray) -> jnp.ndarray:
+    """(B, Tc, 4C) -> (B, Tc+2, 4C) with one replicated edge frame per
+    side (padded row p holds frame p-1; clamping becomes lerp between
+    equal frames, which is exact)."""
+    return jnp.concatenate([film_c[:, :1], film_c, film_c[:, -1:]], axis=1)
+
+
+def _windows_cr(film_c: jnp.ndarray) -> jnp.ndarray:
+    """(B, Tc, 4C) -> (B*(Tc//2), 4, 4C): tile j's padded-frame window
+    [2j, 2j+4), built with four strided slices of the padded film — no
+    gathers, and control-rate-sized (16 MB at canonical shape vs the
+    524 MB audio-rate film this kernel exists to avoid)."""
+    b, tc, cc = film_c.shape
+    tpb = tc // 2
+    fp = _pad_film_cr(film_c)
+    win = jnp.stack(
+        [fp[:, k : k + 2 * tpb - 1 : 2] for k in range(4)], axis=2
+    )  # (B, tpb, 4, 4C)
+    return win.reshape(b * tpb, 4, cc)
+
+
+def _unwindow_dfilm(dwin: jnp.ndarray, b: int, tc: int) -> jnp.ndarray:
+    """Transpose of :func:`_windows_cr`: (B*(Tc//2), 4, 4C) per-tile
+    window gradients -> (B, Tc, 4C) control-frame gradient. Window row
+    k of tile j contributed to padded frame 2j+k, so rows {0,1} tile
+    padded frames [0, Tc) and rows {2,3} tile [2, Tc+2); the overlap
+    sums, and the edge-replica rows fold onto frames 0 and Tc-1 (the
+    transpose of the replicate-pad)."""
+    cc = dwin.shape[-1]
+    tpb = tc // 2
+    d4 = dwin.reshape(b, tpb, 4, cc)
+    da = d4[:, :, :2].reshape(b, tc, cc)  # padded rows [0, Tc)
+    db = d4[:, :, 2:].reshape(b, tc, cc)  # padded rows [2, Tc+2)
+    mid = da[:, 2:] + db[:, : tc - 2]  # padded rows [2, Tc)
+    first = da[:, 0] + da[:, 1]  # padded rows 0 (replica of frame 0) + 1
+    last = db[:, tc - 2] + db[:, tc - 1]  # padded rows Tc, Tc+1 (replica)
+    return jnp.concatenate([first[:, None], mid, last[:, None]], axis=1)
+
+
+def _cr_specs(hop):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    row_spec = lambda width: pl.BlockSpec(
+        (hop, width), lambda g: (g, 0), memory_space=pltpu.VMEM
+    )
+    win_spec = pl.BlockSpec(
+        (1, 4, 4 * C), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+    )
+    w_spec = lambda shape: pl.BlockSpec(
+        shape, lambda g: (0, 0), memory_space=pltpu.VMEM
+    )
+    return row_spec, win_spec, w_spec
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def film_shaper_fused_cr(
+    exciter: jnp.ndarray,
+    film_c: jnp.ndarray,
+    weights_fl: Tuple[jnp.ndarray, ...],
+    hop: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """film_shaper_fused_fl with the control->audio FiLM upsample
+    folded in: (B, Ta, C) exciter + (B, Tc, 4C) CONTROL-rate film +
+    pack_weights_fl weights -> (B, Ta, C), Ta = Tc*hop.
+
+    Use :func:`supports_cr` to gate. The in-kernel interpolation
+    reproduces ``linear_upsample``'s weight arithmetic bit-exactly
+    (tests/test_newt_fused.py test_cr_film_interpolation_bit_exact);
+    whole-kernel output differs from the audio-rate kernel only by
+    cross-program FMA contraction of the lerp (≤1 ulp film, ~1e-6
+    after the sine chain)."""
+    from jax.experimental import pallas as pl
+
+    b, ta, c = exciter.shape
+    tc = film_c.shape[1]
+    assert c == C and ta == tc * hop and tc % 2 == 0
+    tpb = tc // 2
+    row_spec, win_spec, w_spec = _cr_specs(hop)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_cr, hop, tpb),
+        grid=(b * tpb,),
+        in_specs=[row_spec(2 * C), win_spec]
+        + [w_spec(s) for s in _w_shapes(2 * C)],
+        out_specs=row_spec(2 * C),
+        out_shape=jax.ShapeDtypeStruct((b * ta // 2, 2 * C), exciter.dtype),
+        interpret=_interpret_here(interpret),
+    )(exciter.reshape(b * ta // 2, 2 * C), _windows_cr(film_c), *weights_fl)
+    return out.reshape(b, ta, c)
+
+
+def _fused_fwd_cr(exciter, film_c, weights_fl, hop, interpret):
+    return (
+        film_shaper_fused_cr(exciter, film_c, weights_fl, hop, interpret),
+        (exciter, film_c, weights_fl),
+    )
+
+
+def _fused_bwd_cr(hop, interpret, residuals, dy):
+    from jax.experimental import pallas as pl
+
+    exciter, film_c, weights_fl = residuals
+    b, ta, c = exciter.shape
+    tc = film_c.shape[1]
+    tpb = tc // 2
+    row_spec, win_spec, w_spec = _cr_specs(hop)
+    w_shapes = _w_shapes(2 * C)
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel_cr, hop, tpb),
+        grid=(b * tpb,),
+        in_specs=[row_spec(2 * C), win_spec, row_spec(2 * C)]
+        + [w_spec(s) for s in w_shapes],
+        out_specs=[row_spec(2 * C), win_spec]
+        + [w_spec(s) for s in w_shapes],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * ta // 2, 2 * C), exciter.dtype),
+            # per-tile window gradients; each block is written by
+            # exactly one grid step, and _unwindow_dfilm segment-sums
+            # them back to control frames outside the kernel
+            jax.ShapeDtypeStruct((b * tpb, 4, 4 * C), jnp.float32),
+        ]
+        + [jax.ShapeDtypeStruct(s, jnp.float32) for s in w_shapes],
+        interpret=_interpret_here(interpret),
+    )(
+        exciter.reshape(b * ta // 2, 2 * C),
+        _windows_cr(film_c),
+        dy.reshape(b * ta // 2, 2 * C),
+        *weights_fl,
+    )
+    dexc = outs[0].reshape(b, ta, c)
+    dfilm_c = _unwindow_dfilm(outs[1], b, tc).astype(film_c.dtype)
+    return dexc, dfilm_c, tuple(o.astype(exciter.dtype) for o in outs[2:])
+
+
+film_shaper_fused_cr.defvjp(_fused_fwd_cr, _fused_bwd_cr)

@@ -44,14 +44,17 @@ class NEWT:
     remat_shaper: bool = False
     # default for apply()'s ``fused`` argument: None/False = XLA einsum
     # chain, True = half-lane Pallas kernel, 'full_lane' = the (R/2,
-    # 128)-lane recomputing kernel. The full-lane kernel WINS fwd+bwd
-    # on v5e (32.5 vs 40.1 ms at canonical train shape, tile 128) but
-    # LOSES forward-only (18.0 vs 15.1), so it is opted into by the
-    # training gin configs, not globally (profile_train_step probes,
-    # 2026-08-18; full train step 44.1 vs 57.4 ms, time_train_step).
-    # Engaged on the TPU backend only — on CPU (tests, the driver's
-    # virtual-mesh dryrun) apply() keeps the einsum path rather than
-    # crawling through Pallas interpret mode.
+    # 128)-lane recomputing kernel, 'full_lane_cr' = full-lane with the
+    # control->audio FiLM upsample folded in-kernel (the audio-rate
+    # film array never exists). v5e, canonical train shape, f32
+    # (profile_train_step newt probes + time_train_step, 2026-08-19):
+    # NEWT fwd+bwd 19.6 ms (cr) vs 32.5 (full_lane) vs 40.1 (chain);
+    # full train step 31.2 vs 44.1 vs 57.4 ms. Forward-only also flips
+    # to the kernel under cr (7.1 vs 15.1 chain) — the chain's only
+    # edge was fusing the upsample, which cr does in-kernel. Training
+    # gin configs opt in; engaged on the TPU backend only — on CPU
+    # (tests, the driver's virtual-mesh dryrun) apply() keeps the
+    # einsum path rather than crawling through Pallas interpret mode.
     fused: Optional[str] = None
 
     @property
@@ -102,15 +105,14 @@ class NEWT:
 
         ``fused`` selects a Pallas fused FiLM->shaper->FiLM kernel
         (kernels/newt_fused.py): True = half-lane (TILE, 64) planes,
-        'full_lane' = row-paired (TILE, 128) planes. None defers to
-        the ``NEWT.fused`` field (TPU backend only). Measured on v5e
-        at batch 8 x 4 s (profile_train_step newt probes, 2026-08-18):
-        full_lane wins fwd+bwd 32.5 ms vs XLA's 40.1 but loses
-        forward-only 18.0 vs 15.1, so training configs opt in while
-        inference keeps the XLA chain — see the field comment above.
+        'full_lane' = row-paired (TILE, 128) planes, 'full_lane_cr' =
+        full-lane with the control->audio FiLM upsample computed
+        in-kernel (gated by ``newt_fused.supports_cr``; unsupported
+        geometries fall back to 'full_lane'). None defers to the
+        ``NEWT.fused`` field (TPU backend only). Measured numbers:
+        see the field comment above.
         """
         fp = self.film_params(p, control_embedding)  # (B, Tc, 4C)
-        fp = linear_upsample(fp, exciter.shape[1])  # (B, Ta, 4C)
         c = self.n_waveshapers
 
         if fused is None:
@@ -119,6 +121,24 @@ class NEWT:
                 if self.fused and jax.default_backend() == "tpu"
                 else False
             )
+        if fused in ("full_lane_cr", "cr") and lookup_table is None:
+            from ..kernels import newt_fused
+
+            if newt_fused.supports_cr(
+                self.shaping_fn, exciter.shape[1], fp.shape[1]
+            ):
+                # control-rate variant: the FiLM upsample happens
+                # INSIDE the kernel (kernels/newt_fused.py §cr), so the
+                # (B, Ta, 4C) audio-rate film array never exists
+                weights = newt_fused.pack_weights_fl(p["shaping_fn"])
+                x = newt_fused.film_shaper_fused_cr(
+                    exciter, fp, weights, exciter.shape[1] // fp.shape[1]
+                )
+                return dense_apply(p["mixer"], x)
+            fused = "full_lane"  # unsupported shape: audio-rate kernel
+
+        fp = linear_upsample(fp, exciter.shape[1])  # (B, Ta, 4C)
+
         if fused and lookup_table is None:
             from ..kernels import newt_fused
 

@@ -228,6 +228,20 @@ def main(gin_file, batch_size, n_frames, bf16, n_short, n_long, repeats,
             newt_p, _dep(exciter, c),
         ) * 1e-30
 
+    def p_newt_fwd_fused_cr(c):
+        out = model.newt.apply(
+            newt_p, _dep(exciter, c), embedding, fused="full_lane_cr"
+        )
+        return _fold(out)
+
+    def p_newt_fwd_bwd_fused_cr(c):
+        return fwd_bwd(
+            lambda p, x: model.newt.apply(
+                p, x, embedding, fused="full_lane_cr"
+            ),
+            newt_p, _dep(exciter, c),
+        ) * 1e-30
+
     def p_noise_branch(c):
         h = model.noise_mlp.apply(
             params["h_generator"], _dep(embedding, c).astype(jnp.float32)
@@ -260,6 +274,8 @@ def main(gin_file, batch_size, n_frames, bf16, n_short, n_long, repeats,
         "newt_fwd_bwd_fused": (p_newt_fwd_bwd_fused, None),
         "newt_fwd_fused_fl": (p_newt_fwd_fused_fl, None),
         "newt_fwd_bwd_fused_fl": (p_newt_fwd_bwd_fused_fl, None),
+        "newt_fwd_fused_cr": (p_newt_fwd_fused_cr, None),
+        "newt_fwd_bwd_fused_cr": (p_newt_fwd_bwd_fused_cr, None),
         "noise_branch_fwd": (p_noise_branch, None),
         "reverb_fwd": (p_reverb, None),
         "adam_update": (p_adam, None),

@@ -197,6 +197,227 @@ def test_newt_apply_fused_flag_matches(setup):
     assert newt_fused.supports(newt.shaping_fn)
 
 
+def upsampled_chain(shaper, p, exciter, film_c):
+    from neural_waveshaping_synthesis_tpu.ops.upsample import linear_upsample
+
+    fp = linear_upsample(film_c, exciter.shape[1])
+    return reference_chain(shaper, p, exciter, fp)
+
+
+@pytest.fixture(scope="module")
+def setup_cr():
+    newt = NEWT()
+    params = newt.init(jax.random.PRNGKey(2))
+    rng = np.random.default_rng(7)
+    b, tc, hop = 2, 6, 16
+    ta = tc * hop
+    exciter = jnp.asarray(
+        (rng.standard_normal((b, ta, 64)) * 0.5).astype(np.float32)
+    )
+    film_c = jnp.asarray(rng.standard_normal((b, tc, 256)).astype(np.float32))
+    return newt, params, exciter, film_c, hop
+
+
+def test_cr_film_interpolation_bit_exact():
+    """The in-kernel film interpolation (_interp_w_cr/_film_planes_cr),
+    evaluated per tile, reproduces linear_upsample BIT-exactly: same
+    single division of the same exact-integer operands, same lerp
+    expression. (The full kernel OUTPUT is only ulp-close to the
+    audio-rate kernel — see test_cr_forward_matches_fl_kernel — because
+    the lerp runs inside a different compiled program, where FMA
+    contraction is allowed; CLAUDE.md rule 10's cross-program class.)"""
+    from neural_waveshaping_synthesis_tpu.ops.upsample import linear_upsample
+
+    rng = np.random.default_rng(0)
+    b, tc, hop = 2, 6, 16
+    ta = tc * hop
+    cc = 4 * newt_fused.C
+    film_c = jnp.asarray(rng.standard_normal((b, tc, cc)).astype(np.float32))
+    ref = np.asarray(linear_upsample(film_c, ta))
+    windows = np.asarray(newt_fused._windows_cr(film_c))
+    film_pad = np.asarray(newt_fused._pad_film_cr(film_c))
+    tpb = tc // 2
+    # the window builder delivers padded frames [2j, 2j+4) to tile j
+    for g in range(b * tpb):
+        bb, j = g // tpb, g % tpb
+        np.testing.assert_array_equal(
+            windows[g], film_pad[bb, 2 * j : 2 * j + 4]
+        )
+    out = np.zeros((b, ta, cc), np.float32)
+    for g in range(b * tpb):
+        bb, j = g // tpb, g % tpb
+        irel, _, w32 = newt_fused._interp_w_cr(hop, j == 0, jnp.float32)
+        planes = newt_fused._film_planes_cr(
+            jnp.asarray(windows[g]), irel, w32, jnp.float32
+        )
+        for a, plane in enumerate(planes):
+            p2 = np.asarray(plane).reshape(2 * hop, newt_fused.C)
+            out[bb, 2 * hop * j : 2 * hop * (j + 1),
+                a * newt_fused.C : (a + 1) * newt_fused.C] = p2
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_cr_forward_matches_fl_kernel(setup_cr):
+    """CR kernel vs the audio-rate full-lane kernel fed
+    linear_upsample's output: identical math, so the only difference is
+    cross-program FMA contraction of the lerp (≤1 ulp on the film,
+    ~1e-6 after the sine chain)."""
+    from neural_waveshaping_synthesis_tpu.ops.upsample import linear_upsample
+
+    newt, params, exciter, film_c, hop = setup_cr
+    weights = newt_fused.pack_weights_fl(params["shaping_fn"])
+    fp = linear_upsample(film_c, exciter.shape[1])
+    ref = newt_fused.film_shaper_fused_fl(exciter, fp, weights, hop, True)
+    out = newt_fused.film_shaper_fused_cr(exciter, film_c, weights, hop, True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=2e-6
+    )
+    # and the usual kernel-vs-einsum-chain tolerance vs the XLA graph
+    chain = upsampled_chain(newt.shaping_fn, params, exciter, film_c)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(chain), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_cr_forward_non_pow2_hop():
+    """Even non-power-of-two hops keep the chain-exact weight division
+    (the reference's hop is whatever sr/control_rate lands on)."""
+    from neural_waveshaping_synthesis_tpu.ops.upsample import linear_upsample
+
+    newt = NEWT()
+    params = newt.init(jax.random.PRNGKey(4))
+    rng = np.random.default_rng(11)
+    b, tc, hop = 1, 4, 10
+    exciter = jnp.asarray(
+        (rng.standard_normal((b, tc * hop, 64)) * 0.5).astype(np.float32)
+    )
+    film_c = jnp.asarray(rng.standard_normal((b, tc, 256)).astype(np.float32))
+    assert newt_fused.supports_cr(newt.shaping_fn, tc * hop, tc)
+    weights = newt_fused.pack_weights_fl(params["shaping_fn"])
+    fp = linear_upsample(film_c, tc * hop)
+    ref = newt_fused.film_shaper_fused_fl(exciter, fp, weights, hop, True)
+    out = newt_fused.film_shaper_fused_cr(exciter, film_c, weights, hop, True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=2e-6
+    )
+
+
+def test_cr_gradients_match_autodiff(setup_cr):
+    """Grads through the CR kernel — including the in-kernel upsample
+    transpose (segment-sum into control frames) — match autodiff
+    through linear_upsample + the chain."""
+    newt, params, exciter, film_c, hop = setup_cr
+
+    def loss_fused(exc, f, sp):
+        w = newt_fused.pack_weights_fl(sp)
+        return jnp.sum(
+            newt_fused.film_shaper_fused_cr(exc, f, w, hop, True) ** 2
+        )
+
+    def loss_ref(exc, f, sp):
+        return jnp.sum(
+            upsampled_chain(newt.shaping_fn, {"shaping_fn": sp}, exc, f) ** 2
+        )
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(
+        exciter, film_c, params["shaping_fn"]
+    )
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        exciter, film_c, params["shaping_fn"]
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_fused), jax.tree_util.tree_leaves(g_ref)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-2
+        )
+
+
+def test_cr_head_and_tail_clamp_gradients(setup_cr):
+    """The edge-replica padding's transpose: cotangents of the clamped
+    head (first half-hop) and tail regions fold onto frames 0 and Tc-1.
+    Checked by differentiating a loss that only reads those regions."""
+    newt, params, exciter, film_c, hop = setup_cr
+
+    def loss(f, fn):
+        w = newt_fused.pack_weights_fl(params["shaping_fn"])
+        out = fn(exciter, f, w)
+        return jnp.sum(out[:, : hop // 2] ** 2) + jnp.sum(
+            out[:, -hop:] ** 2
+        )
+
+    g_fused = jax.grad(
+        lambda f: loss(
+            f, lambda e, f_, w: newt_fused.film_shaper_fused_cr(e, f_, w, hop, True)
+        )
+    )(film_c)
+    g_ref = jax.grad(
+        lambda f: loss(
+            f,
+            lambda e, f_, w: upsampled_chain(
+                newt.shaping_fn, params, e, f_
+            ),
+        )
+    )(film_c)
+    np.testing.assert_allclose(
+        np.asarray(g_fused), np.asarray(g_ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_newt_apply_cr_matches_default(setup_cr):
+    """NEWT.apply(fused='full_lane_cr'): ulp-close to the audio-rate
+    full-lane kernel path, tolerance-close to the default einsum path
+    (same bound as every other kernel-vs-chain test)."""
+    newt, params, exciter, _, _ = setup_cr
+    rng = np.random.default_rng(5)
+    emb = jnp.asarray(
+        rng.standard_normal((2, 6, newt.control_embedding_size)), jnp.float32
+    )
+    out = newt.apply(params, exciter, emb, fused="full_lane_cr")
+    fl = newt.apply(params, exciter, emb, fused="full_lane")
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(fl), rtol=1e-5, atol=2e-6
+    )
+    ref = newt.apply(params, exciter, emb)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_newt_apply_cr_falls_back_on_odd_control_length(setup):
+    """Unsupported geometry (odd Tc, as in this fixture's Tc=5) falls
+    back to the audio-rate full-lane kernel path, not an error."""
+    newt, params, exciter, _ = setup
+    rng = np.random.default_rng(6)
+    emb = jnp.asarray(
+        rng.standard_normal((2, 5, newt.control_embedding_size)), jnp.float32
+    )
+    assert not newt_fused.supports_cr(newt.shaping_fn, 600, 5)
+    ref = newt.apply(params, exciter[:, :600], emb)
+    out = newt.apply(params, exciter[:, :600], emb, fused="full_lane_cr")
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_cr_bf16_forward(setup_cr):
+    newt, params, exciter, film_c, hop = setup_cr
+    to_bf16 = lambda t: jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16), t
+    )
+    sp16 = to_bf16(params["shaping_fn"])
+    exc16, f16 = to_bf16(exciter), to_bf16(film_c)
+    ref16 = upsampled_chain(
+        newt.shaping_fn, {"shaping_fn": sp16}, exc16, f16
+    )
+    w16 = newt_fused.pack_weights_fl(sp16)
+    out16 = newt_fused.film_shaper_fused_cr(exc16, f16, w16, hop, True)
+    np.testing.assert_allclose(
+        np.asarray(out16, np.float32), np.asarray(ref16, np.float32),
+        rtol=0.08, atol=0.08,
+    )
+
+
 def test_pack_unpack_roundtrip(setup):
     newt, params, _, _ = setup
     w = newt_fused.pack_weights(params["shaping_fn"])
