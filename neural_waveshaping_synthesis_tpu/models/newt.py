@@ -44,18 +44,25 @@ class NEWT:
     remat_shaper: bool = False
     # default for apply()'s ``fused`` argument: None/False = XLA einsum
     # chain, True = half-lane Pallas kernel, 'full_lane' = the (R/2,
-    # 128)-lane recomputing kernel, 'full_lane_cr' = full-lane with the
-    # control->audio FiLM upsample folded in-kernel (the audio-rate
-    # film array never exists). v5e, canonical train shape, f32
-    # (profile_train_step newt probes + time_train_step, 2026-08-19):
-    # NEWT fwd+bwd 19.6 ms (cr) vs 32.5 (full_lane) vs 40.1 (chain);
-    # full train step 31.2 vs 44.1 vs 57.4 ms. Forward-only also flips
-    # to the kernel under cr (7.1 vs 15.1 chain) — the chain's only
-    # edge was fusing the upsample, which cr does in-kernel. Training
-    # gin configs opt in; engaged on the TPU backend only — on CPU
-    # (tests, the driver's virtual-mesh dryrun) apply() keeps the
-    # einsum path rather than crawling through Pallas interpret mode.
-    fused: Optional[str] = None
+    # 128)-lane recomputing kernel, 'full_lane_cr'/'cr' = full-lane
+    # with the control->audio FiLM upsample folded in-kernel (the
+    # audio-rate film array never exists). The two cr spellings differ
+    # only in the unsupported-geometry fallback: 'full_lane_cr' drops
+    # to the audio-rate kernel (right for training, where full_lane
+    # still beats the chain fwd+bwd), 'cr' drops to the chain (right
+    # for inference, where full_lane loses forward-only 18.0 vs 15.1).
+    # v5e, canonical train shape, f32 (profile_train_step newt probes +
+    # time_train_step, 2026-08-19): NEWT fwd+bwd 19.6 ms (cr) vs 32.5
+    # (full_lane) vs 40.1 (chain); full train step 31.2 vs 44.1 vs
+    # 57.4 ms. Forward-only also flips to the kernel under cr (7.1 vs
+    # 15.1 chain — the chain's only edge was fusing the upsample, which
+    # cr does in-kernel), which lifts the batch-1 resynthesis headline
+    # 1857 -> 3109x realtime (bench.py A/B, 2026-08-19) — hence the
+    # default is 'cr'. Training gin configs opt into 'full_lane_cr';
+    # engaged on the TPU backend only — on CPU (tests, the driver's
+    # virtual-mesh dryrun) apply() keeps the einsum path rather than
+    # crawling through Pallas interpret mode.
+    fused: Optional[str] = "cr"
 
     @property
     def mlp(self) -> TimeDistributedMLP:
@@ -105,11 +112,12 @@ class NEWT:
 
         ``fused`` selects a Pallas fused FiLM->shaper->FiLM kernel
         (kernels/newt_fused.py): True = half-lane (TILE, 64) planes,
-        'full_lane' = row-paired (TILE, 128) planes, 'full_lane_cr' =
-        full-lane with the control->audio FiLM upsample computed
-        in-kernel (gated by ``newt_fused.supports_cr``; unsupported
-        geometries fall back to 'full_lane'). None defers to the
-        ``NEWT.fused`` field (TPU backend only). Measured numbers:
+        'full_lane' = row-paired (TILE, 128) planes, 'full_lane_cr' /
+        'cr' = full-lane with the control->audio FiLM upsample computed
+        in-kernel (gated by ``newt_fused.supports_cr``; on unsupported
+        geometries 'full_lane_cr' falls back to the audio-rate kernel,
+        'cr' to the XLA chain — see the field comment). None defers to
+        the ``NEWT.fused`` field (TPU backend only). Measured numbers:
         see the field comment above.
         """
         fp = self.film_params(p, control_embedding)  # (B, Tc, 4C)
@@ -135,7 +143,9 @@ class NEWT:
                     exciter, fp, weights, exciter.shape[1] // fp.shape[1]
                 )
                 return dense_apply(p["mixer"], x)
-            fused = "full_lane"  # unsupported shape: audio-rate kernel
+            # unsupported shape: audio-rate kernel for the training
+            # spelling, XLA chain for the inference default ('cr')
+            fused = "full_lane" if fused == "full_lane_cr" else False
 
         fp = linear_upsample(fp, exciter.shape[1])  # (B, Ta, 4C)
 

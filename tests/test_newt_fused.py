@@ -400,6 +400,24 @@ def test_newt_apply_cr_falls_back_on_odd_control_length(setup):
     )
 
 
+def test_newt_apply_cr_inference_spelling_falls_back_to_chain(setup):
+    """The inference default spelling 'cr' (NEWT.fused field default)
+    falls back to the XLA CHAIN on unsupported geometry — bit-exact
+    with the plain path, because it IS the plain path (full_lane
+    forward-only loses to the chain, so inference must not drop to
+    it). On CPU the backend gate means fused=None is also the chain,
+    which keeps every existing test's reference semantics."""
+    newt, params, exciter, _ = setup
+    assert newt.fused == "cr"  # inference default engages on TPU only
+    rng = np.random.default_rng(6)
+    emb = jnp.asarray(
+        rng.standard_normal((2, 5, newt.control_embedding_size)), jnp.float32
+    )
+    ref = newt.apply(params, exciter[:, :600], emb)
+    out = newt.apply(params, exciter[:, :600], emb, fused="cr")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_cr_bf16_forward(setup_cr):
     newt, params, exciter, film_c, hop = setup_cr
     to_bf16 = lambda t: jax.tree_util.tree_map(
