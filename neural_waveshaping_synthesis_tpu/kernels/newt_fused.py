@@ -846,3 +846,126 @@ def _fused_bwd_cr(hop, interpret, residuals, dy):
 
 
 film_shaper_fused_cr.defvjp(_fused_fwd_cr, _fused_bwd_cr)
+
+
+# ---------------------------------------------------------------------------
+# streaming variant: segment-ramp interpolation, forward-only
+# ---------------------------------------------------------------------------
+# The live-serving path (streaming/synth.py step 5) has DIFFERENT
+# interpolation semantics from the offline graph: within a buffer the
+# FiLM parameters ramp linearly from the PREVIOUS control frame to each
+# new frame over one hop (_segment_interp — continuous across buffers
+# by construction), not the offline align_corners=False grid. At 256
+# concurrent streams the chain materializes a (256, 1024, 256) f32
+# audio-rate film (268 MB) per buffer and the sine chain's
+# intermediates besides; this kernel folds the ramp in-register the
+# same way the CR kernel folds the offline upsample. Forward-only (a
+# live stream never differentiates), so no custom VJP.
+def _interp_w_stream(hop):
+    """Per-element segment-ramp state for one 2-hop tile: irel in
+    {0,1} is the segment index (selects window rows irel/irel+1), w is
+    ``(o+1)/hop`` — the same division as _segment_interp's
+    ``(arange(hop)+1)/hop`` ramp."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hop, 2 * C), 0)
+    half = (jax.lax.broadcasted_iota(jnp.int32, (hop, 2 * C), 1) >= C)
+    u = 2 * rows + half.astype(jnp.int32)  # audio sample within tile
+    seg = (u >= hop).astype(jnp.int32)  # segment within tile {0, 1}
+    w32 = (u - seg * hop + 1).astype(jnp.float32) / jnp.float32(hop)
+    return seg, w32
+
+
+def _film_planes_stream(win, irel, w32, out_dtype):
+    """(4, 4C) window (rows = frames [prev..][2j : 2j+3), row 3 unused)
+    -> 4 full-lane (hop, 2C) film planes via the segment ramp.
+
+    The lerp is _segment_interp's ``start + (end - start) * t`` form
+    (NOT the offline kernels' ``left*(1-w)+right*w``) so the f32 values
+    match the chain up to cross-program FMA contraction. f32 select +
+    ramp for the same Mosaic mask-relayout reason as _film_planes_cr."""
+    frames = tuple(
+        win[i : i + 1, :].astype(jnp.float32) for i in range(3)
+    )
+    planes = []
+    for a in range(4):
+        tiled = [
+            jnp.concatenate([f[:, a * C : (a + 1) * C]] * 2, axis=1)
+            for f in frames
+        ]
+        start = jnp.where(irel == 0, tiled[0], tiled[1])
+        end = jnp.where(irel == 0, tiled[1], tiled[2])
+        planes.append((start + (end - start) * w32).astype(out_dtype))
+    return tuple(planes)
+
+
+def _fwd_kernel_stream(
+    hop,
+    exc_ref, win_ref, scale_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    w3_ref, b3_ref, w4_ref, b4_ref, out_ref,
+):
+    irel, w32 = _interp_w_stream(hop)
+    gi, bi, gn, bn = _film_planes_stream(
+        win_ref[0], irel, w32, exc_ref.dtype
+    )
+    out, _ = _forward_core(
+        exc_ref[:], gi, bi, gn, bn, scale_ref[:], w1_ref[:], b1_ref[:],
+        w2_ref[:], b2_ref[:], w3_ref[:], b3_ref[:], w4_ref[:], b4_ref[:],
+    )
+    out_ref[:] = out
+
+
+def supports_stream(shaper_cfg, n_audio: int, n_control: int) -> bool:
+    """Same geometry gates as the CR kernel (tile = 2 control hops)."""
+    return supports_cr(shaper_cfg, n_audio, n_control)
+
+
+def _windows_stream(prev_film: jnp.ndarray, film_c: jnp.ndarray) -> jnp.ndarray:
+    """(B, 4C) carried frame + (B, K, 4C) buffer frames ->
+    (B*(K//2), 4, 4C) per-tile windows: tile j's segment s ramps from
+    prepended frame 2j+s to 2j+s+1, so it needs prepended rows
+    [2j, 2j+3) (row 3 is slack for the (1, 4, 4C) block shape; one
+    replicated tail frame pads the strided slices into range)."""
+    b, k, cc = film_c.shape
+    tpb = k // 2
+    fp = jnp.concatenate(
+        [prev_film[:, None], film_c, film_c[:, -1:]], axis=1
+    )  # (B, K+2, 4C)
+    win = jnp.stack(
+        [fp[:, i : i + 2 * tpb - 1 : 2] for i in range(4)], axis=2
+    )  # (B, tpb, 4, 4C)
+    return win.reshape(b * tpb, 4, cc)
+
+
+def film_shaper_fused_stream(
+    exciter: jnp.ndarray,
+    prev_film: jnp.ndarray,
+    film_c: jnp.ndarray,
+    weights_fl: Tuple[jnp.ndarray, ...],
+    hop: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Streaming FiLM->shaper->FiLM: (B, Ta, C) exciter + (B, 4C)
+    carried frame + (B, K, 4C) CONTROL-rate buffer frames ->
+    (B, Ta, C), Ta = K*hop. Interpolation is streaming/synth.py
+    _segment_interp's cross-buffer-continuous segment ramp, computed
+    in-register (tests/test_newt_fused.py test_stream_kernel_*)."""
+    from jax.experimental import pallas as pl
+
+    b, ta, c = exciter.shape
+    k = film_c.shape[1]
+    assert c == C and ta == k * hop and k % 2 == 0
+    tpb = k // 2
+    row_spec, win_spec, w_spec = _cr_specs(hop)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_stream, hop),
+        grid=(b * tpb,),
+        in_specs=[row_spec(2 * C), win_spec]
+        + [w_spec(s) for s in _w_shapes(2 * C)],
+        out_specs=row_spec(2 * C),
+        out_shape=jax.ShapeDtypeStruct((b * ta // 2, 2 * C), exciter.dtype),
+        interpret=_interpret_here(interpret),
+    )(
+        exciter.reshape(b * ta // 2, 2 * C),
+        _windows_stream(prev_film, film_c),
+        *weights_fl,
+    )
+    return out.reshape(b, ta, c)

@@ -149,7 +149,6 @@ class StreamingSynth:
 
         # 3. audio-rate interpolation, continuous across buffers
         f0_aud = _segment_interp(state.prev_f0[:, None], f0[..., None], hop)[..., 0]
-        film_aud = _segment_interp(state.prev_film, film, hop)  # (B, K*hop, 4C)
 
         # 4. exciter with carried phase
         bank = m.osc.apply(
@@ -158,17 +157,38 @@ class StreamingSynth:
         osc_phase = m.osc.carry_phase(f0_aud, state.osc_phase)
         exciter = dense_apply(params["harmonic_mixer"], bank)  # (B, T, C)
 
-        # 5. NEWT shaping with the interpolated FiLM params
-        c = m.n_waveshapers
-        gi, bi, gn, bn = (
-            film_aud[..., :c],
-            film_aud[..., c : 2 * c],
-            film_aud[..., 2 * c : 3 * c],
-            film_aud[..., 3 * c :],
-        )
-        x = gi * exciter + bi
-        x = m.newt.shaping_fn.apply(params["newt"]["shaping_fn"], x)
-        x = gn * x + bn
+        # 5. NEWT shaping with the segment-ramped FiLM params. On the
+        # TPU backend (and when NEWT.fused opts into a Pallas kernel)
+        # the ramp happens IN-KERNEL (kernels/newt_fused.py
+        # film_shaper_fused_stream) — the (B, K*hop, 4C) audio-rate
+        # film (268 MB f32 at 256 streams x 1024 samples) never
+        # exists; geometry gated by supports_stream, chain fallback.
+        from ..kernels import newt_fused
+
+        sp = params["newt"]["shaping_fn"]
+        if (
+            m.newt.fused
+            and jax.default_backend() == "tpu"
+            and newt_fused.supports_stream(
+                m.newt.shaping_fn, k * hop, k
+            )
+        ):
+            x = newt_fused.film_shaper_fused_stream(
+                exciter, state.prev_film, film,
+                newt_fused.pack_weights_fl(sp), hop,
+            )
+        else:
+            c = m.n_waveshapers
+            film_aud = _segment_interp(state.prev_film, film, hop)
+            gi, bi, gn, bn = (
+                film_aud[..., :c],
+                film_aud[..., c : 2 * c],
+                film_aud[..., 2 * c : 3 * c],
+                film_aud[..., 3 * c :],
+            )
+            x = gi * exciter + bi
+            x = m.newt.shaping_fn.apply(sp, x)
+            x = gn * x + bn
         shaped = dense_apply(params["newt"]["mixer"], x)[..., 0]  # (B, T)
 
         # 6. noise branch: windowed-FIR per frame + streaming rect-OLA

@@ -448,3 +448,149 @@ def test_pack_unpack_roundtrip(setup):
             np.asarray(rt["layers"][i]["w"]),
             np.asarray(params["shaping_fn"]["layers"][i]["w"]),
         )
+
+
+# ---------------------------------------------------------------------------
+# streaming (segment-ramp) variant
+# ---------------------------------------------------------------------------
+def _segment_ramp_chain(newt, params, exciter, prev_film, film_c, hop):
+    """The streaming/synth.py step-5 chain, extracted: segment-ramp
+    film interpolation + FiLM -> shaper -> FiLM (pre-mixer)."""
+    from neural_waveshaping_synthesis_tpu.streaming.synth import (
+        _segment_interp,
+    )
+
+    c = newt.n_waveshapers
+    film_aud = _segment_interp(prev_film, film_c, hop)
+    gi, bi, gn, bn = (
+        film_aud[..., :c],
+        film_aud[..., c : 2 * c],
+        film_aud[..., 2 * c : 3 * c],
+        film_aud[..., 3 * c :],
+    )
+    x = gi * exciter + bi
+    x = newt.shaping_fn.apply(params["shaping_fn"], x)
+    return gn * x + bn
+
+
+@pytest.fixture(scope="module")
+def setup_stream():
+    newt = NEWT()
+    params = newt.init(jax.random.PRNGKey(3))
+    rng = np.random.default_rng(13)
+    b, k, hop = 2, 6, 16
+    exciter = jnp.asarray(
+        (rng.standard_normal((b, k * hop, 64)) * 0.5).astype(np.float32)
+    )
+    film_c = jnp.asarray(rng.standard_normal((b, k, 256)).astype(np.float32))
+    prev = jnp.asarray(rng.standard_normal((b, 256)).astype(np.float32))
+    return newt, params, exciter, prev, film_c, hop
+
+
+def test_stream_kernel_windows_and_ramp_bit_exact():
+    """The in-kernel segment ramp (_interp_w_stream + _film_planes
+    _stream over _windows_stream), evaluated per tile, reproduces
+    streaming/synth.py _segment_interp BIT-exactly: same
+    ``(o+1)/hop`` division, same ``start + (end-start)*t`` lerp form."""
+    from neural_waveshaping_synthesis_tpu.streaming.synth import (
+        _segment_interp,
+    )
+
+    rng = np.random.default_rng(1)
+    b, k, hop = 2, 6, 16
+    cc = 4 * newt_fused.C
+    film_c = jnp.asarray(rng.standard_normal((b, k, cc)).astype(np.float32))
+    prev = jnp.asarray(rng.standard_normal((b, cc)).astype(np.float32))
+    ref = np.asarray(_segment_interp(prev, film_c, hop))
+    windows = np.asarray(newt_fused._windows_stream(prev, film_c))
+    prepended = np.concatenate([np.asarray(prev)[:, None], np.asarray(film_c)], axis=1)
+    tpb = k // 2
+    for g in range(b * tpb):
+        bb, j = g // tpb, g % tpb
+        # rows 0..2 must be prepended frames [2j, 2j+3) (row 3 slack)
+        np.testing.assert_array_equal(
+            windows[g, :3], prepended[bb, 2 * j : 2 * j + 3]
+        )
+    out = np.zeros((b, k * hop, cc), np.float32)
+    irel, w32 = newt_fused._interp_w_stream(hop)
+    for g in range(b * tpb):
+        bb, j = g // tpb, g % tpb
+        planes = newt_fused._film_planes_stream(
+            jnp.asarray(windows[g]), irel, w32, jnp.float32
+        )
+        for a, plane in enumerate(planes):
+            p2 = np.asarray(plane).reshape(2 * hop, newt_fused.C)
+            out[bb, 2 * hop * j : 2 * hop * (j + 1),
+                a * newt_fused.C : (a + 1) * newt_fused.C] = p2
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_stream_kernel_matches_chain(setup_stream):
+    newt, params, exciter, prev, film_c, hop = setup_stream
+    ref = _segment_ramp_chain(newt, params, exciter, prev, film_c, hop)
+    w = newt_fused.pack_weights_fl(params["shaping_fn"])
+    out = newt_fused.film_shaper_fused_stream(
+        exciter, prev, film_c, w, hop, True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_stream_kernel_cross_buffer_continuity(setup_stream):
+    """Two consecutive buffers through the kernel == one double-length
+    buffer: the carried prev_film handoff preserves the ramp exactly
+    (same guarantee the chain's _segment_interp gives)."""
+    newt, params, exciter, prev, film_c, hop = setup_stream
+    b, k = film_c.shape[:2]
+    w = newt_fused.pack_weights_fl(params["shaping_fn"])
+    whole = newt_fused.film_shaper_fused_stream(
+        exciter, prev, film_c, w, hop, True
+    )
+    split = 2  # even-frame buffers: 2 + 4
+    cut = split * hop
+    first = newt_fused.film_shaper_fused_stream(
+        exciter[:, :cut], prev, film_c[:, :split], w, hop, True
+    )
+    second = newt_fused.film_shaper_fused_stream(
+        exciter[:, cut:], film_c[:, split - 1], film_c[:, split:],
+        w, hop, True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(whole),
+        np.concatenate([np.asarray(first), np.asarray(second)], axis=1),
+    )
+
+
+def test_streaming_step_fused_flag_is_inert_on_cpu():
+    """StreamingSynth.step gates the kernel to the TPU backend: with
+    NEWT.fused set (the shipped default) the CPU step must still take
+    the chain and match a fused=None model bit-exactly."""
+    from dataclasses import replace
+
+    from neural_waveshaping_synthesis_tpu.models.neural_waveshaping import (
+        NeuralWaveshaping,
+    )
+    from neural_waveshaping_synthesis_tpu.streaming.synth import (
+        StreamingSynth,
+    )
+
+    model = NeuralWaveshaping()
+    assert model.newt.fused == "cr"
+    params = model.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    rng = np.random.default_rng(2)
+    f0 = jnp.asarray(
+        (220.0 + 20 * rng.random((1, 8))).astype(np.float32)
+    )
+    ctrl = jnp.asarray(rng.standard_normal((1, 8, 2)).astype(np.float32))
+
+    outs = []
+    for fused in ["cr", None]:
+        synth = StreamingSynth(
+            replace(model, newt=replace(model.newt, fused=fused)), 8
+        )
+        state = synth.init_state(params, 1, key)
+        audio, _ = synth.step(params, state, f0, ctrl)
+        outs.append(np.asarray(audio))
+    np.testing.assert_array_equal(outs[0], outs[1])
