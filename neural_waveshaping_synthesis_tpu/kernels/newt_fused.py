@@ -700,14 +700,24 @@ def _bwd_kernel_cr(
 
 def supports_cr(shaper_cfg, n_audio: int, n_control: int) -> bool:
     """True when the control-rate fused kernel applies: shipped
-    architecture, integer even hop, even control length (tile = 2 hops
-    must divide the clip)."""
+    architecture, integer hop with 8 | hop <= 256, even control length
+    (tile = 2 hops must divide the clip).
+
+    The hop bounds are Mosaic-lowering gates, not math gates (the
+    kernel itself is hop-generic and interpret-mode tests cover e.g.
+    hop=10): the CR row blocks are (hop, 2C), and per this module's
+    documented block constraint the sublane dim must be divisible by 8
+    to lower on a real TPU; and the backward pins its tile to 2*hop
+    rows with per-tile window + weight-grad blocks resident, so hops
+    beyond 256 risk overflowing the ~16 MB scoped-VMEM budget the
+    audio-rate backward caps at 128 rows for. Ungated geometries fall
+    back to the audio-rate kernel / XLA chain in NEWT.apply."""
     if not supports(shaper_cfg):
         return False
     if n_control < 2 or n_control % 2 or n_audio % n_control:
         return False
     hop = n_audio // n_control
-    return hop >= 2 and hop % 2 == 0
+    return hop >= 8 and hop % 8 == 0 and hop <= 256
 
 
 def _pad_film_cr(film_c: jnp.ndarray) -> jnp.ndarray:

@@ -281,7 +281,10 @@ def test_cr_forward_matches_fl_kernel(setup_cr):
 
 def test_cr_forward_non_pow2_hop():
     """Even non-power-of-two hops keep the chain-exact weight division
-    (the reference's hop is whatever sr/control_rate lands on)."""
+    (the reference's hop is whatever sr/control_rate lands on). The
+    kernel MATH is hop-generic (exercised here in interpret mode), but
+    supports_cr gates such hops off the compiled path: a (10, 2C) row
+    block violates Mosaic's sublane-divisible-by-8 constraint."""
     from neural_waveshaping_synthesis_tpu.ops.upsample import linear_upsample
 
     newt = NEWT()
@@ -292,7 +295,7 @@ def test_cr_forward_non_pow2_hop():
         (rng.standard_normal((b, tc * hop, 64)) * 0.5).astype(np.float32)
     )
     film_c = jnp.asarray(rng.standard_normal((b, tc, 256)).astype(np.float32))
-    assert newt_fused.supports_cr(newt.shaping_fn, tc * hop, tc)
+    assert not newt_fused.supports_cr(newt.shaping_fn, tc * hop, tc)
     weights = newt_fused.pack_weights_fl(params["shaping_fn"])
     fp = linear_upsample(film_c, tc * hop)
     ref = newt_fused.film_shaper_fused_fl(exciter, fp, weights, hop, True)
@@ -398,6 +401,21 @@ def test_newt_apply_cr_falls_back_on_odd_control_length(setup):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
     )
+
+
+def test_supports_cr_mosaic_hop_gates():
+    """The compiled-path gate excludes hops Mosaic can't lower (sublane
+    not divisible by 8) and hops whose backward would overflow the
+    ~16 MB scoped-VMEM budget (hop > 256) — these must FALL BACK, not
+    error at compile time on a real TPU (r4 advisor findings)."""
+    newt = NEWT()
+    cfg = newt.shaping_fn
+    assert newt_fused.supports_cr(cfg, 128 * 8, 8)  # shipped hop=128
+    assert newt_fused.supports_cr(cfg, 256 * 8, 8)  # VMEM cap boundary
+    assert not newt_fused.supports_cr(cfg, 10 * 4, 4)  # hop=10: sublane
+    assert not newt_fused.supports_cr(cfg, 12 * 4, 4)  # hop=12: sublane
+    assert not newt_fused.supports_cr(cfg, 512 * 8, 8)  # hop=512: VMEM
+    assert not newt_fused.supports_stream(cfg, 512 * 8, 8)
 
 
 def test_newt_apply_cr_inference_spelling_falls_back_to_chain(setup):
