@@ -63,6 +63,13 @@ class NEWT:
     # virtual-mesh dryrun) apply() keeps the einsum path rather than
     # crawling through Pallas interpret mode.
     fused: Optional[str] = "cr"
+    # A/B knob for the cr kernel under narrow compute dtypes: keep the
+    # CONTROL-rate film windows f32 while exciter/output stay in the
+    # compute dtype. The window traffic is control-rate-tiny either
+    # way; what changes is the in-kernel frame converts (f32 windows
+    # skip the bf16->f32 casts before the lerp) and the film's bf16
+    # rounding. No effect when the compute dtype is already f32.
+    cr_film_f32: bool = False
 
     @property
     def mlp(self) -> TimeDistributedMLP:
@@ -139,6 +146,11 @@ class NEWT:
                 # INSIDE the kernel (kernels/newt_fused.py §cr), so the
                 # (B, Ta, 4C) audio-rate film array never exists
                 weights = newt_fused.pack_weights_fl(p["shaping_fn"])
+                if self.cr_film_f32 and fp.dtype != jnp.float32:
+                    # mixed-dtype call: f32 windows, compute-dtype
+                    # exciter/output (the kernel derives its plane and
+                    # output dtypes from the exciter)
+                    fp = fp.astype(jnp.float32)
                 x = newt_fused.film_shaper_fused_cr(
                     exciter, fp, weights, exciter.shape[1] // fp.shape[1]
                 )

@@ -454,6 +454,61 @@ def test_cr_bf16_forward(setup_cr):
     )
 
 
+def test_cr_mixed_dtype_f32_film_bf16_exciter(setup_cr):
+    """The NEWT.cr_film_f32 A/B path: f32 control-rate film windows
+    with bf16 exciter/weights/output. The kernel derives plane and
+    output dtypes from the exciter, so the mixed call must (a) run,
+    (b) track the all-f32 kernel within bf16 rounding, and (c) produce
+    finite f32 gradients for film and weights through the custom VJP."""
+    newt, params, exciter, film_c, hop = setup_cr
+    to_bf16 = lambda t: jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16), t
+    )
+    sp16 = to_bf16(params["shaping_fn"])
+    w16 = newt_fused.pack_weights_fl(sp16)
+    exc16 = exciter.astype(jnp.bfloat16)
+    out = newt_fused.film_shaper_fused_cr(exc16, film_c, w16, hop, True)
+    assert out.dtype == jnp.bfloat16
+    ref = newt_fused.film_shaper_fused_cr(
+        exciter, film_c, newt_fused.pack_weights_fl(params["shaping_fn"]),
+        hop, True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), rtol=0.08, atol=0.08
+    )
+
+    def loss(f, e, w):
+        return jnp.sum(
+            newt_fused.film_shaper_fused_cr(e, f, w, hop, True).astype(
+                jnp.float32
+            )
+            ** 2
+        )
+
+    df, de, dw = jax.grad(loss, argnums=(0, 1, 2))(film_c, exc16, w16)
+    assert df.dtype == jnp.float32 and de.dtype == jnp.bfloat16
+    for g in (df, de, *dw):
+        assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
+
+
+def test_newt_apply_cr_film_f32_field(setup_cr):
+    """NEWT(cr_film_f32=True) is a no-op under f32 compute (bit-exact
+    with the default) — the field only changes bf16 calls."""
+    newt, params, exciter, film_c, hop = setup_cr
+    import dataclasses
+
+    emb = jnp.asarray(
+        np.random.default_rng(3).standard_normal(
+            (exciter.shape[0], film_c.shape[1], newt.control_embedding_size)
+        ),
+        jnp.float32,
+    )
+    newt_ab = dataclasses.replace(newt, cr_film_f32=True)
+    ref = newt.apply(params, exciter, emb, fused="full_lane_cr")
+    out = newt_ab.apply(params, exciter, emb, fused="full_lane_cr")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_pack_unpack_roundtrip(setup):
     newt, params, _, _ = setup
     w = newt_fused.pack_weights(params["shaping_fn"])
