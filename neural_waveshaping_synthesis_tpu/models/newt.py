@@ -57,7 +57,8 @@ class NEWT:
     # 57.4 ms. Forward-only also flips to the kernel under cr (7.1 vs
     # 15.1 chain — the chain's only edge was fusing the upsample, which
     # cr does in-kernel), which lifts the batch-1 resynthesis headline
-    # 1857 -> 3109x realtime (bench.py A/B, 2026-08-19) — hence the
+    # 1857 -> 3066x realtime (bench.py, canonical 5-run median, band
+    # 2921-3097 across tunnel windows — README) — hence the
     # default is 'cr'. Training gin configs opt into 'full_lane_cr';
     # engaged on the TPU backend only — on CPU (tests, the driver's
     # virtual-mesh dryrun) apply() keeps the einsum path rather than
