@@ -945,6 +945,567 @@ def _windows_stream(prev_film: jnp.ndarray, film_c: jnp.ndarray) -> jnp.ndarray:
     return win.reshape(b * tpb, 4, cc)
 
 
+# ---------------------------------------------------------------------------
+# exciter-fused variant: the harmonic bank + 101->64 mixer computed
+# in-kernel — the (B, Ta, H) sinusoid bank and the (B, Ta, C) exciter
+# never exist in HBM
+# ---------------------------------------------------------------------------
+# The CR kernel above still READS its exciter from HBM, and XLA
+# produces that exciter by materializing the (B, Ta, 101) harmonic
+# bank (207 MB f32 at canonical train shape), reading it back into the
+# 101->64 mixer matmul, and writing the (B, Ta, 64) exciter (131 MB)
+# the kernel then reads again — plus, in training, the mixer's weight
+# gradient re-reads the saved bank and the kernel's 131 MB exciter
+# cotangent round-trips through HBM to reach it (~1 GB of traffic
+# whose information content is the (B, Ta) phase/f0 tracks, 4 MB).
+#
+# This variant reads ONLY the wrapped phase and f0 (packed (R, 4),
+# see pack_pf) and rebuilds the exciter per tile in VMEM: harmonics
+# ride the 128 lanes (101 padded with zero mixer rows), the two bank
+# tiles (even/odd sample rows of the full-lane layout) are
+# `_psin`-evaluated with the same polynomial + wrapped-phase formula
+# as ops/oscillator.bank_from_phase, and the 101->64 mix is an MXU
+# `dot_general` per half. The backward recomputes the bank and
+# accumulates the mixer weight gradient in f32 across the grid like
+# the shaper weight grads; no exciter cotangent is ever written.
+# Reference chain being fused: generators.py:58-66 (bank) +
+# neural_waveshaping.py:66 (mixer) + shaping.py:67-79 (NEWT chain).
+#
+# MEASURED OUTCOME (v5e, 2026-08-20): the traffic argument loses to
+# the transcendental argument — the bank is 101 sines/sample and
+# Mosaic's polynomial sine is slower than XLA's vectorized bank
+# (platform rule 8), so both spellings REGRESS end-to-end: batch-1
+# headline 3060x (chain) vs 2881x (xcr) vs 2808x (xfull); batch-8 f32
+# train step 30.9 -> 31.7 ms (scripts/ab_fused_exciter.py). Kept as a
+# correct, tested A/B record (NeuralWaveshaping.fuse_exciter /
+# fuse_out_mixer, both default False) — the same fate as FastNEWT's
+# table lookup (models/newt.py).
+_KF = 128  # lane-padded harmonic count
+
+
+def pack_pf(phase: jnp.ndarray, f0_up: jnp.ndarray) -> jnp.ndarray:
+    """(B, Ta) wrapped phase + (B, Ta) audio-rate f0 -> (B*Ta/2, 4)
+    rows [phase_even, phase_odd, f0_even, f0_odd] aligned with the
+    full-lane (R/2, 2C) activation layout (row r = samples 2r, 2r+1).
+
+    Phase must be ALREADY wrapped mod tau (oscillator.py wraps before
+    the harmonic expansion; the in-kernel expansion multiplies by k
+    exactly like bank_from_phase). Always float32 — phase precision is
+    load-bearing (CLAUDE.md layout invariants), whatever the compute
+    dtype."""
+    b, ta = phase.shape
+    ph2 = phase.astype(jnp.float32).reshape(b * ta // 2, 2)
+    f2 = f0_up.astype(jnp.float32).reshape(b * ta // 2, 2)
+    return jnp.concatenate([ph2, f2], axis=1)
+
+
+def pack_mixer(mixer_p: Dict, dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Harmonic-mixer dense params {'w': (H, C), 'b': (C,)} ->
+    (w_pad (128, C), b_fl (1, 2C)). Zero rows pad H -> 128 so the
+    masked bank lanes >= H contract to exactly 0; the bias is
+    lane-tiled like pack_weights_fl. Differentiable (pad/concat), so
+    calling it inside the traced forward lets AD route the kernel's
+    packed-layout cotangents back to the {'w','b'} pytree."""
+    w, bvec = mixer_p["w"], mixer_p["b"]
+    if dtype is not None:
+        w, bvec = w.astype(dtype), bvec.astype(dtype)
+    w_pad = jnp.pad(w, ((0, _KF - w.shape[0]), (0, 0)))
+    b_fl = jnp.concatenate([bvec, bvec])[None, :]
+    return w_pad, b_fl
+
+
+def pack_offsets(phase_offset, n_harmonics: int) -> jnp.ndarray:
+    """(H,) per-harmonic phase offsets (or None) -> (1, 128) f32 plane."""
+    if phase_offset is None:
+        off = jnp.zeros((n_harmonics,), jnp.float32)
+    else:
+        off = phase_offset.astype(jnp.float32)
+    return jnp.pad(off, (0, _KF - n_harmonics))[None, :]
+
+
+def _exciter_il(pf, off, mw, mb, n_harm, sr, out_dtype):
+    """(hop, 4) phase/f0 rows -> ((hop, 2C) interleaved exciter,
+    (be, bo) bank tiles for the backward's mixer-grad matmuls).
+
+    All bank math runs f32 (phase precision; _psin is f32-internal
+    anyway); the mix accumulates f32 on the MXU and casts once at the
+    end — same accumulate-wide/round-once contract as dense_apply."""
+    hop = pf.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (hop, _KF), 1)
+    kf = (lane + 1).astype(jnp.float32)  # harmonic number k
+    off32 = off.astype(jnp.float32)  # (1, 128), broadcasts over rows
+    nyq = jnp.float32(sr / 2.0)
+
+    def bank(ph_col, f0_col):
+        ph = jnp.broadcast_to(ph_col.astype(jnp.float32), (hop, _KF))
+        f0 = jnp.broadcast_to(f0_col.astype(jnp.float32), (hop, _KF))
+        mask = (f0 * kf < nyq) & (lane < n_harm)
+        return _psin(ph * kf + off32) * mask.astype(jnp.float32)
+
+    be = bank(pf[:, 0:1], pf[:, 2:3])
+    bo = bank(pf[:, 1:2], pf[:, 3:4])
+    mw32 = mw.astype(jnp.float32)
+    dot = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    exc = jnp.concatenate([dot(be, mw32), dot(bo, mw32)], axis=1)
+    exc = exc + mb.astype(jnp.float32)
+    return exc.astype(out_dtype), (be, bo)
+
+
+def _fwd_kernel_xcr(
+    hop, tpb, n_harm, sr,
+    pf_ref, off_ref, win_ref, mw_ref, mb_ref, scale_ref, w1_ref, b1_ref,
+    w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, b4_ref, out_ref,
+):
+    from jax.experimental import pallas as pl
+
+    out_dtype = mw_ref.dtype
+    exc, _ = _exciter_il(
+        pf_ref[:], off_ref[:], mw_ref[:], mb_ref[:], n_harm, sr, out_dtype
+    )
+    is_first = pl.program_id(0) % tpb == 0
+    irel, _, w32 = _interp_w_cr(hop, is_first, out_dtype)
+    gi, bi, gn, bn = _film_planes_cr(win_ref[0], irel, w32, out_dtype)
+    out, _ = _forward_core(
+        exc, gi, bi, gn, bn, scale_ref[:], w1_ref[:], b1_ref[:],
+        w2_ref[:], b2_ref[:], w3_ref[:], b3_ref[:], w4_ref[:], b4_ref[:],
+    )
+    out_ref[:] = out
+
+
+def _bwd_kernel_xcr(
+    hop, tpb, n_harm, sr,
+    pf_ref, off_ref, win_ref, mw_ref, mb_ref, dy_ref, scale_ref, w1_ref,
+    b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, b4_ref,
+    dwin_ref, dmwe_ref, dmwo_ref, dmb_ref, dscale_ref, dw1_ref, db1_ref,
+    dw2_ref, db2_ref, dw3_ref, db3_ref, dw4_ref, db4_ref,
+):
+    from jax.experimental import pallas as pl
+
+    out_dtype = mw_ref.dtype
+    exc, (be, bo) = _exciter_il(
+        pf_ref[:], off_ref[:], mw_ref[:], mb_ref[:], n_harm, sr, out_dtype
+    )
+    is_first = pl.program_id(0) % tpb == 0
+    irel, _, w32 = _interp_w_cr(hop, is_first, out_dtype)
+    film_planes = _film_planes_cr(win_ref[0], irel, w32, out_dtype)
+    dexc, dplanes, wgrads = _bwd_core(
+        exc, film_planes, dy_ref[:], scale_ref[:],
+        w1_ref[:], b1_ref[:], w2_ref[:], b2_ref[:], w3_ref[:], b3_ref[:],
+        w4_ref[:], b4_ref[:],
+    )
+    dwin_ref[0] = _fold_dfilm_cr(dplanes, irel, w32)
+    # mixer grads: dW[k, c] = sum_t bank[t, k] * dexc[t, c], per sample
+    # half; accumulated as two (128, 2C) grid-sums whose relevant lane
+    # halves are folded outside the kernel (avoids in-kernel lane
+    # slicing). f32 accumulation, same reason as _bwd_core's rsum.
+    dexc32 = dexc.astype(jnp.float32)
+    tdot = lambda a, b: jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dmwe_ref[:] = jnp.zeros_like(dmwe_ref)
+        dmwo_ref[:] = jnp.zeros_like(dmwo_ref)
+        dmb_ref[:] = jnp.zeros_like(dmb_ref)
+
+    dmwe_ref[:] += tdot(be, dexc32)
+    dmwo_ref[:] += tdot(bo, dexc32)
+    dmb_ref[:] += jnp.sum(dexc32, axis=0, keepdims=True)
+    _accumulate_wgrads(
+        wgrads,
+        (dscale_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref,
+         dw4_ref, db4_ref),
+    )
+
+
+def supports_xcr(
+    shaper_cfg, n_audio: int, n_control: int, n_harmonics: int
+) -> bool:
+    """CR-kernel geometry gates plus the lane-padded harmonic bound."""
+    return supports_cr(shaper_cfg, n_audio, n_control) and (
+        2 <= n_harmonics <= _KF
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def bank_film_shaper_fused_xcr(
+    phase: jnp.ndarray,
+    f0_up: jnp.ndarray,
+    offsets: jnp.ndarray,
+    film_c: jnp.ndarray,
+    mixer_pl: Tuple[jnp.ndarray, jnp.ndarray],
+    weights_fl: Tuple[jnp.ndarray, ...],
+    n_harmonics: int,
+    sample_rate: float,
+    hop: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Harmonic bank + mixer + FiLM upsample + shaper chain, fused:
+    (B, Ta) WRAPPED phase + (B, Ta) f0 + (1, 128) pack_offsets plane +
+    (B, Tc, 4C) control-rate film + pack_mixer planes +
+    pack_weights_fl weights -> (B, Ta, C) shaped signal (pre-NEWT-mixer).
+
+    Gate with :func:`supports_xcr`. Forward matches
+    bank_from_phase -> dense_apply -> film_shaper_fused_cr up to MXU
+    contraction order of the zero-padded mix (tests/test_newt_fused.py
+    test_xcr_*). Phase and f0 receive zero cotangents (they are data,
+    not parameters; jax DCEs the zeros in training)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, ta = phase.shape
+    tc = film_c.shape[1]
+    assert ta == tc * hop and tc % 2 == 0
+    tpb = tc // 2
+    row_spec, win_spec, w_spec = _cr_specs(hop)
+    pf_spec = pl.BlockSpec(
+        (hop, 4), lambda g: (g, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_xcr, hop, tpb, n_harmonics,
+                          sample_rate),
+        grid=(b * tpb,),
+        in_specs=[pf_spec, w_spec((1, _KF)), win_spec, w_spec((_KF, C)),
+                  w_spec((1, 2 * C))]
+        + [w_spec(s) for s in _w_shapes(2 * C)],
+        out_specs=row_spec(2 * C),
+        out_shape=jax.ShapeDtypeStruct(
+            (b * ta // 2, 2 * C), mixer_pl[0].dtype
+        ),
+        interpret=_interpret_here(interpret),
+    )(
+        pack_pf(phase, f0_up), offsets, _windows_cr(film_c), *mixer_pl,
+        *weights_fl,
+    )
+    return out.reshape(b, ta, C)
+
+
+def _fused_fwd_xcr(
+    phase, f0_up, offsets, film_c, mixer_pl, weights_fl,
+    n_harmonics, sample_rate, hop, interpret,
+):
+    out = bank_film_shaper_fused_xcr(
+        phase, f0_up, offsets, film_c, mixer_pl, weights_fl,
+        n_harmonics, sample_rate, hop, interpret,
+    )
+    return out, (phase, f0_up, offsets, film_c, mixer_pl, weights_fl)
+
+
+def _fused_bwd_xcr(n_harmonics, sample_rate, hop, interpret, residuals, dy):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    phase, f0_up, offsets, film_c, mixer_pl, weights_fl = residuals
+    b, ta = phase.shape
+    tc = film_c.shape[1]
+    tpb = tc // 2
+    row_spec, win_spec, w_spec = _cr_specs(hop)
+    pf_spec = pl.BlockSpec(
+        (hop, 4), lambda g: (g, 0), memory_space=pltpu.VMEM
+    )
+    w_shapes = _w_shapes(2 * C)
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel_xcr, hop, tpb, n_harmonics,
+                          sample_rate),
+        grid=(b * tpb,),
+        in_specs=[pf_spec, w_spec((1, _KF)), win_spec, w_spec((_KF, C)),
+                  w_spec((1, 2 * C)), row_spec(2 * C)]
+        + [w_spec(s) for s in w_shapes],
+        out_specs=[win_spec, w_spec((_KF, 2 * C)), w_spec((_KF, 2 * C)),
+                   w_spec((1, 2 * C))]
+        + [w_spec(s) for s in w_shapes],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * tpb, 4, 4 * C), jnp.float32),
+            jax.ShapeDtypeStruct((_KF, 2 * C), jnp.float32),
+            jax.ShapeDtypeStruct((_KF, 2 * C), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2 * C), jnp.float32),
+        ]
+        + [jax.ShapeDtypeStruct(s, jnp.float32) for s in w_shapes],
+        interpret=_interpret_here(interpret),
+    )(
+        pack_pf(phase, f0_up), offsets, _windows_cr(film_c), *mixer_pl,
+        dy.reshape(b * ta // 2, 2 * C),
+        *weights_fl,
+    )
+    dwin, dmwe, dmwo, dmb = outs[0], outs[1], outs[2], outs[3]
+    dfilm_c = _unwindow_dfilm(dwin, b, tc).astype(film_c.dtype)
+    mw_dtype = mixer_pl[0].dtype
+    # fold the (128, 2C) half-accumulators back to the packed layout:
+    # even-sample banks contracted against even-half cotangent lanes,
+    # odd against odd
+    dmw = (dmwe[:, :C] + dmwo[:, C:]).astype(mw_dtype)
+    # pack_mixer's b_fl = concat([b, b]), so AD folds the returned
+    # halves by summation: handing back dmb verbatim yields
+    # d_b = dmb[:C] + dmb[C:] — the even+odd sample-half sum, exactly
+    # the bias gradient.
+    dmb_fl = dmb.astype(mw_dtype)
+    dweights = tuple(o.astype(mw_dtype) for o in outs[4:])
+    return (
+        jnp.zeros_like(phase),
+        jnp.zeros_like(f0_up),
+        jnp.zeros_like(offsets),
+        dfilm_c,
+        (dmw, dmb_fl),
+        dweights,
+    )
+
+
+bank_film_shaper_fused_xcr.defvjp(_fused_fwd_xcr, _fused_bwd_xcr)
+
+
+# ---------------------------------------------------------------------------
+# whole-synth variant: xcr + the NEWT 64->1 output mixer folded in —
+# phase/f0 and control-rate film in, AUDIO out; no audio-rate
+# (B, Ta, C)-wide array touches HBM in either direction
+# ---------------------------------------------------------------------------
+# On top of xcr this removes the kernel's (B, Ta, C) output write, the
+# XLA mixer's read of it, and — in training — the (B, Ta, C) cotangent
+# the XLA mixer backward would otherwise materialize for the kernel to
+# read back (~525 MB round trip at canonical train shape). The 64->1
+# mix is a weighted lane reduction per sample half (VPU, no MXU); its
+# weight gradient accumulates across the grid like the shaper weight
+# grads. The mixer BIAS stays outside the kernel (a scalar add on the
+# (B, Ta) output — XLA fuses it, and its gradient falls out of AD).
+def pack_out_mixer(mixer_p: Dict, dtype=None) -> jnp.ndarray:
+    """NEWT output-mixer dense params {'w': (C, 1), 'b': (1,)} ->
+    lane-tiled (1, 2C) weight row (bias handled outside the kernel).
+    Differentiable, so AD folds the kernel's (1, 2C) weight cotangent
+    back to (C, 1) by summing the lane halves."""
+    w = mixer_p["w"][:, 0]
+    if dtype is not None:
+        w = w.astype(dtype)
+    return jnp.concatenate([w, w])[None, :]
+
+
+def _out_mix(pre, mv_fl, half):
+    """(hop, 2C) pre-mix signal -> (hop, 2) per-sample-half outputs."""
+    sum_e = jnp.sum(
+        jnp.where(half, 0.0, pre.astype(jnp.float32) * mv_fl),
+        axis=1, keepdims=True,
+    )
+    sum_o = jnp.sum(
+        jnp.where(half, pre.astype(jnp.float32) * mv_fl, 0.0),
+        axis=1, keepdims=True,
+    )
+    return jnp.concatenate([sum_e, sum_o], axis=1)
+
+
+def _fwd_kernel_xfull(
+    hop, tpb, n_harm, sr,
+    pf_ref, off_ref, win_ref, mw_ref, mb_ref, mv_ref, scale_ref, w1_ref,
+    b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, b4_ref, out_ref,
+):
+    from jax.experimental import pallas as pl
+
+    cdtype = mw_ref.dtype
+    exc, _ = _exciter_il(
+        pf_ref[:], off_ref[:], mw_ref[:], mb_ref[:], n_harm, sr, cdtype
+    )
+    is_first = pl.program_id(0) % tpb == 0
+    irel, _, w32 = _interp_w_cr(hop, is_first, cdtype)
+    gi, bi, gn, bn = _film_planes_cr(win_ref[0], irel, w32, cdtype)
+    pre, _ = _forward_core(
+        exc, gi, bi, gn, bn, scale_ref[:], w1_ref[:], b1_ref[:],
+        w2_ref[:], b2_ref[:], w3_ref[:], b3_ref[:], w4_ref[:], b4_ref[:],
+    )
+    half = jax.lax.broadcasted_iota(jnp.int32, (hop, 2 * C), 1) >= C
+    out_ref[:] = _out_mix(pre, mv_ref[:].astype(jnp.float32), half).astype(
+        out_ref.dtype
+    )
+
+
+def _bwd_kernel_xfull(
+    hop, tpb, n_harm, sr,
+    pf_ref, off_ref, win_ref, mw_ref, mb_ref, mv_ref, dy_ref, scale_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, b4_ref,
+    dwin_ref, dmwe_ref, dmwo_ref, dmb_ref, dmv_ref, dscale_ref, dw1_ref,
+    db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref, dw4_ref, db4_ref,
+):
+    from jax.experimental import pallas as pl
+
+    cdtype = mw_ref.dtype
+    exc, (be, bo) = _exciter_il(
+        pf_ref[:], off_ref[:], mw_ref[:], mb_ref[:], n_harm, sr, cdtype
+    )
+    is_first = pl.program_id(0) % tpb == 0
+    irel, _, w32 = _interp_w_cr(hop, is_first, cdtype)
+    film_planes = _film_planes_cr(win_ref[0], irel, w32, cdtype)
+    # recompute the pre-mix forward for the out-mixer weight grad
+    pre, _ = _forward_core(
+        exc, *film_planes, scale_ref[:], w1_ref[:], b1_ref[:],
+        w2_ref[:], b2_ref[:], w3_ref[:], b3_ref[:], w4_ref[:], b4_ref[:],
+    )
+    half = jax.lax.broadcasted_iota(jnp.int32, (hop, 2 * C), 1) >= C
+    dy32 = dy_ref[:].astype(jnp.float32)  # (hop, 2)
+    dy_e = jnp.broadcast_to(dy32[:, 0:1], (hop, 2 * C))
+    dy_o = jnp.broadcast_to(dy32[:, 1:2], (hop, 2 * C))
+    dyb = jnp.where(half, dy_o, dy_e)  # per-element output cotangent
+    mv32 = mv_ref[:].astype(jnp.float32)
+    dpre = (dyb * mv32).astype(cdtype)  # d(pre-mix signal)
+    dexc, dplanes, wgrads = _bwd_core(
+        exc, film_planes, dpre, scale_ref[:],
+        w1_ref[:], b1_ref[:], w2_ref[:], b2_ref[:], w3_ref[:], b3_ref[:],
+        w4_ref[:], b4_ref[:],
+    )
+    dwin_ref[0] = _fold_dfilm_cr(dplanes, irel, w32)
+    dexc32 = dexc.astype(jnp.float32)
+    tdot = lambda a, b: jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dmwe_ref[:] = jnp.zeros_like(dmwe_ref)
+        dmwo_ref[:] = jnp.zeros_like(dmwo_ref)
+        dmb_ref[:] = jnp.zeros_like(dmb_ref)
+        dmv_ref[:] = jnp.zeros_like(dmv_ref)
+
+    dmwe_ref[:] += tdot(be, dexc32)
+    dmwo_ref[:] += tdot(bo, dexc32)
+    dmb_ref[:] += jnp.sum(dexc32, axis=0, keepdims=True)
+    dmv_ref[:] += jnp.sum(
+        pre.astype(jnp.float32) * dyb, axis=0, keepdims=True
+    )
+    _accumulate_wgrads(
+        wgrads,
+        (dscale_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref,
+         dw4_ref, db4_ref),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def bank_newt_fused_xfull(
+    phase: jnp.ndarray,
+    f0_up: jnp.ndarray,
+    offsets: jnp.ndarray,
+    film_c: jnp.ndarray,
+    mixer_pl: Tuple[jnp.ndarray, jnp.ndarray],
+    out_mixer_fl: jnp.ndarray,
+    weights_fl: Tuple[jnp.ndarray, ...],
+    n_harmonics: int,
+    sample_rate: float,
+    hop: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """The whole NEWT synthesis hot path in one kernel: (B, Ta) wrapped
+    phase + f0 + (B, Tc, 4C) control-rate film -> (B, Ta) pre-bias
+    audio (add the output-mixer bias outside). Combines
+    bank_film_shaper_fused_xcr with the 64->1 output mix as a weighted
+    lane reduction; gate with :func:`supports_xcr` (plus
+    out_channels == 1 at the caller)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, ta = phase.shape
+    tc = film_c.shape[1]
+    assert ta == tc * hop and tc % 2 == 0
+    tpb = tc // 2
+    row_spec, win_spec, w_spec = _cr_specs(hop)
+    pf_spec = pl.BlockSpec(
+        (hop, 4), lambda g: (g, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (hop, 2), lambda g: (g, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_xfull, hop, tpb, n_harmonics,
+                          sample_rate),
+        grid=(b * tpb,),
+        in_specs=[pf_spec, w_spec((1, _KF)), win_spec, w_spec((_KF, C)),
+                  w_spec((1, 2 * C)), w_spec((1, 2 * C))]
+        + [w_spec(s) for s in _w_shapes(2 * C)],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (b * ta // 2, 2), mixer_pl[0].dtype
+        ),
+        interpret=_interpret_here(interpret),
+    )(
+        pack_pf(phase, f0_up), offsets, _windows_cr(film_c), *mixer_pl,
+        out_mixer_fl, *weights_fl,
+    )
+    return out.reshape(b, ta)
+
+
+def _fused_fwd_xfull(
+    phase, f0_up, offsets, film_c, mixer_pl, out_mixer_fl, weights_fl,
+    n_harmonics, sample_rate, hop, interpret,
+):
+    out = bank_newt_fused_xfull(
+        phase, f0_up, offsets, film_c, mixer_pl, out_mixer_fl, weights_fl,
+        n_harmonics, sample_rate, hop, interpret,
+    )
+    return out, (phase, f0_up, offsets, film_c, mixer_pl, out_mixer_fl,
+                 weights_fl)
+
+
+def _fused_bwd_xfull(
+    n_harmonics, sample_rate, hop, interpret, residuals, dy
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    (phase, f0_up, offsets, film_c, mixer_pl, out_mixer_fl,
+     weights_fl) = residuals
+    b, ta = phase.shape
+    tc = film_c.shape[1]
+    tpb = tc // 2
+    row_spec, win_spec, w_spec = _cr_specs(hop)
+    pf_spec = pl.BlockSpec(
+        (hop, 4), lambda g: (g, 0), memory_space=pltpu.VMEM
+    )
+    dy_spec = pl.BlockSpec(
+        (hop, 2), lambda g: (g, 0), memory_space=pltpu.VMEM
+    )
+    w_shapes = _w_shapes(2 * C)
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel_xfull, hop, tpb, n_harmonics,
+                          sample_rate),
+        grid=(b * tpb,),
+        in_specs=[pf_spec, w_spec((1, _KF)), win_spec, w_spec((_KF, C)),
+                  w_spec((1, 2 * C)), w_spec((1, 2 * C)), dy_spec]
+        + [w_spec(s) for s in w_shapes],
+        out_specs=[win_spec, w_spec((_KF, 2 * C)), w_spec((_KF, 2 * C)),
+                   w_spec((1, 2 * C)), w_spec((1, 2 * C))]
+        + [w_spec(s) for s in w_shapes],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * tpb, 4, 4 * C), jnp.float32),
+            jax.ShapeDtypeStruct((_KF, 2 * C), jnp.float32),
+            jax.ShapeDtypeStruct((_KF, 2 * C), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2 * C), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2 * C), jnp.float32),
+        ]
+        + [jax.ShapeDtypeStruct(s, jnp.float32) for s in w_shapes],
+        interpret=_interpret_here(interpret),
+    )(
+        pack_pf(phase, f0_up), offsets, _windows_cr(film_c), *mixer_pl,
+        out_mixer_fl, dy.reshape(b * ta // 2, 2),
+        *weights_fl,
+    )
+    dwin, dmwe, dmwo, dmb, dmv = outs[:5]
+    dfilm_c = _unwindow_dfilm(dwin, b, tc).astype(film_c.dtype)
+    mw_dtype = mixer_pl[0].dtype
+    dmw = (dmwe[:, :C] + dmwo[:, C:]).astype(mw_dtype)
+    dweights = tuple(o.astype(mw_dtype) for o in outs[5:])
+    return (
+        jnp.zeros_like(phase),
+        jnp.zeros_like(f0_up),
+        jnp.zeros_like(offsets),
+        dfilm_c,
+        (dmw, dmb.astype(mw_dtype)),
+        dmv.astype(out_mixer_fl.dtype),
+        dweights,
+    )
+
+
+bank_newt_fused_xfull.defvjp(_fused_fwd_xfull, _fused_bwd_xfull)
+
+
 def film_shaper_fused_stream(
     exciter: jnp.ndarray,
     prev_film: jnp.ndarray,

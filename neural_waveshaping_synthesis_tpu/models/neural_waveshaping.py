@@ -72,6 +72,31 @@ class NeuralWaveshaping:
     # bf16 there is audible garbage). Master params and Adam state are
     # always float32; casting happens inside apply().
     compute_dtype: str = "float32"
+    # Fold the harmonic bank + 101->64 mixer INTO the fused NEWT kernel
+    # (kernels/newt_fused.py bank_film_shaper_fused_xcr) when the NEWT
+    # config selects a control-rate kernel: the (B, Ta, 101) sinusoid
+    # bank and the (B, Ta, 64) exciter never exist in HBM — only the
+    # (B, Ta) wrapped phase / f0 tracks enter the kernel. A/B knob;
+    # inert off-TPU and on unsupported geometries (falls back to
+    # render_exciter + NEWT.apply).
+    #
+    # MEASURED ANTI-OPTIMIZATION on v5e, shipped OFF (like FastNEWT):
+    # the bank is 101 transcendentals/sample and Mosaic's in-kernel
+    # sine polynomial is slower than XLA's fused bank even counting the
+    # ~340 MB/step HBM traffic it removes (platform rule 8). batch-1
+    # headline 3060x (off) vs 2881x (xcr) vs 2808x (xfull); batch-8
+    # f32 train step 30.9 (off) vs 31.7 ms (xfull)
+    # (scripts/ab_fused_exciter.py + profile_train_step.py, 2026-08-20).
+    fuse_exciter: bool = False
+    # On top of fuse_exciter, also fold the NEWT 64->1 output mixer
+    # into the kernel (bank_newt_fused_xfull): phase/f0 + control-rate
+    # film in, AUDIO out — no (B, Ta, C)-wide array touches HBM in
+    # either direction (the xcr spelling still writes the shaped
+    # (B, Ta, C) signal for the XLA mixer, whose backward materializes
+    # the same-size cotangent). A/B knob; requires out_channels == 1
+    # and an active fuse_exciter path. Same measured verdict as
+    # fuse_exciter (2808x vs 3060x at batch 1) — shipped OFF.
+    fuse_out_mixer: bool = False
     # submodule configs (reference wires these through gin scopes)
     embedding: ControlModule = field(default_factory=ControlModule)
     osc: HarmonicOscillator = field(default_factory=HarmonicOscillator)
@@ -127,6 +152,94 @@ class NeuralWaveshaping:
         (reference :69-72)."""
         return self.embedding.apply(p["embedding"], control[..., :2], h0)
 
+    def _fused_exciter_newt(
+        self,
+        p: Params,
+        f0_up: jnp.ndarray,
+        embedding: jnp.ndarray,
+        key: Optional[jax.Array],
+        phase_offset: Optional[jnp.ndarray],
+        force: bool = False,
+    ) -> Optional[jnp.ndarray]:
+        """The fully-fused synthesis hot path (``fuse_exciter``): wrapped
+        phase + f0 -> bank + mixer + FiLM upsample + shaper, one Pallas
+        kernel -> NEWT mixer. Returns (B, Ta, out_channels), or None
+        when the path doesn't apply (caller falls back to
+        render_exciter + NEWT.apply). ``force=True`` (tests) skips the
+        backend/config gates but not the geometry gate."""
+        newt = self.newt
+        if not force:
+            if not (
+                self.fuse_exciter
+                and newt.fused in ("cr", "full_lane_cr")
+                and jax.default_backend() == "tpu"
+            ):
+                return None
+        from ..ops import oscillator
+        from ..kernels import newt_fused
+
+        if oscillator.EXACT_SIN:
+            return None  # A/B escape hatch: the kernel's sine is _psin
+        if phase_offset is not None and phase_offset.ndim != 1:
+            return None  # per-batch offsets are a streaming-only layout
+        tc, ta = embedding.shape[1], f0_up.shape[1]
+        if not newt_fused.supports_xcr(
+            newt.shaping_fn, ta, tc, self.osc.n_harmonics
+        ):
+            return None
+
+        if phase_offset is None and key is not None:
+            phase_offset = oscillator.draw_phase_offset(
+                key, self.osc.n_harmonics, f0_up.dtype
+            )
+        phase = jnp.mod(
+            oscillator.phase_accumulate(f0_up, self.osc.sample_rate),
+            oscillator.TAU,
+        )
+        cd = jnp.dtype(self.compute_dtype)
+        newt_p = p["newt"]
+        if cd != jnp.float32:
+            newt_p = jax.tree_util.tree_map(lambda x: x.astype(cd), newt_p)
+            embedding = embedding.astype(cd)
+        fp = newt.film_params(newt_p, embedding)
+        if newt.cr_film_f32 and fp.dtype != jnp.float32:
+            fp = fp.astype(jnp.float32)
+        mixer_pl = newt_fused.pack_mixer(
+            p["harmonic_mixer"], None if cd == jnp.float32 else cd
+        )
+        offsets = newt_fused.pack_offsets(phase_offset, self.osc.n_harmonics)
+        weights = newt_fused.pack_weights_fl(newt_p["shaping_fn"])
+        if self.fuse_out_mixer and newt.out_channels == 1:
+            audio = newt_fused.bank_newt_fused_xfull(
+                phase,
+                f0_up,
+                offsets,
+                fp,
+                mixer_pl,
+                newt_fused.pack_out_mixer(
+                    newt_p["mixer"], None if cd == jnp.float32 else cd
+                ),
+                weights,
+                self.osc.n_harmonics,
+                self.osc.sample_rate,
+                ta // tc,
+            )
+            out = (audio + newt_p["mixer"]["b"][0])[..., None]
+        else:
+            x = newt_fused.bank_film_shaper_fused_xcr(
+                phase,
+                f0_up,
+                offsets,
+                fp,
+                mixer_pl,
+                weights,
+                self.osc.n_harmonics,
+                self.osc.sample_rate,
+                ta // tc,
+            )
+            out = dense_apply(newt_p["mixer"], x)
+        return out.astype(jnp.float32) if cd != jnp.float32 else out
+
     # -- full graph ----------------------------------------------------------
     def apply(
         self,
@@ -164,22 +277,30 @@ class NeuralWaveshaping:
         t_audio = f0.shape[1] * self.control_hop
         f0_up = linear_upsample(f0[..., None], t_audio)[..., 0]
 
-        exciter = self.render_exciter(
-            p, f0_up, key=k_phase, phase_offset=phase_offset
-        )
         embedding, _ = self.get_embedding(p, control)
 
         cd = jnp.dtype(self.compute_dtype)
-        if cd != jnp.float32:
-            newt_p = jax.tree_util.tree_map(lambda x: x.astype(cd), p["newt"])
-            shaped = self.newt.apply(
-                newt_p, exciter.astype(cd), embedding.astype(cd),
-                lookup_table=lookup_table,
-            ).astype(jnp.float32)
-        else:
-            shaped = self.newt.apply(
-                p["newt"], exciter, embedding, lookup_table=lookup_table
-            )  # (B, Ta, 1)
+        shaped = None
+        if lookup_table is None:
+            shaped = self._fused_exciter_newt(
+                p, f0_up, embedding, k_phase, phase_offset
+            )
+        if shaped is None:
+            exciter = self.render_exciter(
+                p, f0_up, key=k_phase, phase_offset=phase_offset
+            )
+            if cd != jnp.float32:
+                newt_p = jax.tree_util.tree_map(
+                    lambda x: x.astype(cd), p["newt"]
+                )
+                shaped = self.newt.apply(
+                    newt_p, exciter.astype(cd), embedding.astype(cd),
+                    lookup_table=lookup_table,
+                ).astype(jnp.float32)
+            else:
+                shaped = self.newt.apply(
+                    p["newt"], exciter, embedding, lookup_table=lookup_table
+                )  # (B, Ta, 1)
 
         h = self.noise_mlp.apply(p["h_generator"], embedding)  # (B, Tc, 129)
         noise_audio = self.noise_synth.apply(h, key=k_noise, noise=noise)

@@ -42,6 +42,7 @@ def stft_loss(
     w_log_mag: float = 1.0,
     eps: float = 1e-8,
     spectrogram_variant: str = "einsum",
+    precision=None,
 ) -> jnp.ndarray:
     """Single-resolution STFT loss between input ``x`` and target ``y``.
 
@@ -66,13 +67,14 @@ def stft_loss(
     from ..ops.stft import polyphase_dft_magnitude
 
     window = hann_window(win_length, periodic=True)
+    kwargs = {} if precision is None else {"precision": precision}
     x_mag = polyphase_dft_magnitude(
         x, fft_size, hop_size, win_length=win_length, window=window,
-        eps=eps, variant=spectrogram_variant,
+        eps=eps, variant=spectrogram_variant, **kwargs,
     )
     y_mag = polyphase_dft_magnitude(
         y, fft_size, hop_size, win_length=win_length, window=window,
-        eps=eps, variant=spectrogram_variant,
+        eps=eps, variant=spectrogram_variant, **kwargs,
     )
     sc = jnp.linalg.norm(y_mag - x_mag) / jnp.linalg.norm(y_mag)
     log_mag = jnp.mean(jnp.abs(jnp.log(y_mag) - jnp.log(x_mag)))
@@ -86,11 +88,13 @@ def multi_resolution_stft_loss(
     hop_sizes: Sequence[int] = DEFAULT_HOP_SIZES,
     win_lengths: Sequence[int] = DEFAULT_WIN_LENGTHS,
     spectrogram_variant: str = "einsum",
+    precision=None,
 ) -> jnp.ndarray:
     """Mean over resolutions of (spectral convergence + log-mag L1)."""
     total = 0.0
     for n_fft, hop, win in zip(fft_sizes, hop_sizes, win_lengths):
         total = total + stft_loss(
-            x, y, n_fft, hop, win, spectrogram_variant=spectrogram_variant
+            x, y, n_fft, hop, win, spectrogram_variant=spectrogram_variant,
+            precision=precision,
         )
     return total / len(fft_sizes)

@@ -196,6 +196,31 @@ def main(gin_file, batch_size, n_frames, bf16, n_short, n_long, repeats,
         out = model.render_exciter(params, _dep(f0_up, c), key=key)
         return _fold(out)
 
+    def p_exciter_fwd_bwd(c):
+        # Training-path backward: the exciter's only parameters are the
+        # 101->64 mixer weights, so the backward is dW = bank^T @ dy
+        # (the bank is re-read or recomputed) + db. f0 is data — no
+        # cotangent flows into the phase/sine subgraph.
+        return fwd_bwd(
+            lambda mp: model.render_exciter(
+                {**params, "harmonic_mixer": mp}, _dep(f0_up, c), key=key
+            ),
+            params["harmonic_mixer"],
+        ) * 1e-30
+
+    def p_osc_bank_fwd(c):
+        # The (B, Ta, 101) sinusoid bank alone: phase cumsum + wrap +
+        # harmonic expansion + sines + antialias mask, no mixer.
+        out = model.osc.apply(_dep(f0_up, c), key=key)
+        return _fold(out)
+
+    def p_f0_upsample(c):
+        from neural_waveshaping_synthesis_tpu.ops.upsample import (
+            linear_upsample,
+        )
+        out = linear_upsample(_dep(f0, c)[..., None], ta)[..., 0]
+        return _fold(out)
+
     def p_newt_fwd(c):
         out = model.newt.apply(newt_p, _dep(exciter, c), embedding)
         return _fold(out)
@@ -268,6 +293,9 @@ def main(gin_file, batch_size, n_frames, bf16, n_short, n_long, repeats,
         "control_gru_fwd": (p_control, None),
         "control_gru_fwd_bwd": (p_control_fwd_bwd, None),
         "exciter_fwd": (p_exciter, None),
+        "exciter_fwd_bwd": (p_exciter_fwd_bwd, None),
+        "osc_bank_fwd": (p_osc_bank_fwd, None),
+        "f0_upsample": (p_f0_upsample, None),
         "newt_fwd": (p_newt_fwd, None),
         "newt_fwd_bwd": (p_newt_fwd_bwd, None),
         "newt_fwd_fused": (p_newt_fwd_fused, None),

@@ -667,3 +667,343 @@ def test_streaming_step_fused_flag_is_inert_on_cpu():
         audio, _ = synth.step(params, state, f0, ctrl)
         outs.append(np.asarray(audio))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+# ---------------------------------------------------------------------------
+# exciter-fused (xcr) kernel: bank + mixer computed in-kernel
+# ---------------------------------------------------------------------------
+def _xcr_inputs(seed=13, b=2, tc=6, hop=16, n_harm=101, sr=16000.0):
+    from neural_waveshaping_synthesis_tpu.ops import oscillator
+
+    rng = np.random.default_rng(seed)
+    ta = tc * hop
+    f0 = jnp.asarray(
+        (220.0 * 2.0 ** rng.uniform(0, 3, (b, ta))).astype(np.float32)
+    )  # up to ~1.7 kHz so the antialias mask zeroes real lanes
+    phase = jnp.mod(oscillator.phase_accumulate(f0, sr), oscillator.TAU)
+    offsets = jnp.asarray(
+        rng.uniform(-np.pi, np.pi, (n_harm,)).astype(np.float32)
+    )
+    film_c = jnp.asarray(rng.standard_normal((b, tc, 256)).astype(np.float32))
+    return f0, phase, offsets, film_c
+
+
+def _xcr_chain(newt, params, mixer_p, f0, phase, offsets, film_c, n_harm, sr):
+    """The XLA graph the xcr kernel fuses: bank_from_phase -> mixer
+    dense -> upsampled FiLM/shaper/FiLM chain."""
+    from neural_waveshaping_synthesis_tpu.models.modules import dense_apply
+    from neural_waveshaping_synthesis_tpu.ops.oscillator import bank_from_phase
+
+    bank = bank_from_phase(phase, f0, n_harm, sr, offsets)
+    exciter = dense_apply(mixer_p, bank)
+    return upsampled_chain(newt.shaping_fn, params, exciter, film_c)
+
+
+@pytest.fixture(scope="module")
+def setup_xcr():
+    newt = NEWT()
+    params = newt.init(jax.random.PRNGKey(5))
+    mixer_p = {
+        "w": jax.random.normal(jax.random.PRNGKey(6), (101, 64)) * 0.1,
+        "b": jax.random.normal(jax.random.PRNGKey(7), (64,)) * 0.1,
+    }
+    f0, phase, offsets, film_c = _xcr_inputs()
+    return newt, params, mixer_p, f0, phase, offsets, film_c
+
+
+def test_xcr_forward_matches_chain(setup_xcr):
+    newt, params, mixer_p, f0, phase, offsets, film_c = setup_xcr
+    n_harm, sr, hop = 101, 16000.0, 16
+    assert newt_fused.supports_xcr(
+        newt.shaping_fn, f0.shape[1], film_c.shape[1], n_harm
+    )
+    ref = _xcr_chain(
+        newt, {"shaping_fn": params["shaping_fn"]}, mixer_p,
+        f0, phase, offsets, film_c, n_harm, sr,
+    )
+    out = newt_fused.bank_film_shaper_fused_xcr(
+        phase, f0, newt_fused.pack_offsets(offsets, n_harm), film_c,
+        newt_fused.pack_mixer(mixer_p),
+        newt_fused.pack_weights_fl(params["shaping_fn"]),
+        n_harm, sr, hop, True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_xcr_gradients_match_autodiff(setup_xcr):
+    """Grads through the xcr kernel w.r.t. the control-rate film, the
+    harmonic-mixer dense params (via pack_mixer's pad/concat VJP), and
+    the shaper pytree (via pack_weights_fl) match autodiff through the
+    unfused bank -> dense -> upsample -> chain graph. Phase/f0 carry
+    zero cotangents by design (data, not parameters)."""
+    newt, params, mixer_p, f0, phase, offsets, film_c = setup_xcr
+    n_harm, sr, hop = 101, 16000.0, 16
+
+    def loss_fused(f, mp, sp):
+        out = newt_fused.bank_film_shaper_fused_xcr(
+            phase, f0, newt_fused.pack_offsets(offsets, n_harm), f,
+            newt_fused.pack_mixer(mp), newt_fused.pack_weights_fl(sp),
+            n_harm, sr, hop, True,
+        )
+        return jnp.sum(out ** 2)
+
+    def loss_ref(f, mp, sp):
+        out = _xcr_chain(
+            newt, {"shaping_fn": sp}, mp, f0, phase, offsets, f, n_harm, sr
+        )
+        return jnp.sum(out ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(
+        film_c, mixer_p, params["shaping_fn"]
+    )
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        film_c, mixer_p, params["shaping_fn"]
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_fused), jax.tree_util.tree_leaves(g_ref)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-2
+        )
+
+
+def test_xcr_phase_f0_zero_cotangents(setup_xcr):
+    newt, params, mixer_p, f0, phase, offsets, film_c = setup_xcr
+    n_harm, sr, hop = 101, 16000.0, 16
+
+    def loss(ph, ff):
+        out = newt_fused.bank_film_shaper_fused_xcr(
+            ph, ff, newt_fused.pack_offsets(offsets, n_harm), film_c,
+            newt_fused.pack_mixer(mixer_p),
+            newt_fused.pack_weights_fl(params["shaping_fn"]),
+            n_harm, sr, hop, True,
+        )
+        return jnp.sum(out)
+
+    gp, gf = jax.grad(loss, argnums=(0, 1))(phase, f0)
+    assert not np.asarray(gp).any() and not np.asarray(gf).any()
+
+
+def test_supports_xcr_gates():
+    newt = NEWT()
+    assert newt_fused.supports_xcr(newt.shaping_fn, 96, 6, 101)
+    assert newt_fused.supports_xcr(newt.shaping_fn, 96, 6, 128)
+    assert not newt_fused.supports_xcr(newt.shaping_fn, 96, 6, 129)
+    assert not newt_fused.supports_xcr(newt.shaping_fn, 96, 6, 1)
+    # inherits the cr geometry gates
+    assert not newt_fused.supports_xcr(newt.shaping_fn, 60, 6, 101)  # hop 10
+    assert not newt_fused.supports_xcr(newt.shaping_fn, 80, 5, 101)  # tc odd
+
+
+def test_xfull_forward_matches_xcr_plus_mixer(setup_xcr):
+    """xfull (out-mixer folded in, pre-bias audio out) == the XLA
+    output-mixer dense applied to the xcr kernel's shaped signal. Both
+    run the identical in-kernel pre-mix computation; only the 64->1
+    reduction moves, so parity is tight."""
+    newt, params, mixer_p, f0, phase, offsets, film_c = setup_xcr
+    n_harm, sr, hop = 101, 16000.0, 16
+    out_p = params["mixer"]
+    common = (
+        phase, f0, newt_fused.pack_offsets(offsets, n_harm), film_c,
+        newt_fused.pack_mixer(mixer_p),
+    )
+    weights = newt_fused.pack_weights_fl(params["shaping_fn"])
+    shaped = newt_fused.bank_film_shaper_fused_xcr(
+        *common, weights, n_harm, sr, hop, True,
+    )
+    from neural_waveshaping_synthesis_tpu.models.modules import dense_apply
+
+    ref = dense_apply(out_p, shaped)[..., 0]
+    audio = newt_fused.bank_newt_fused_xfull(
+        *common, newt_fused.pack_out_mixer(out_p), weights,
+        n_harm, sr, hop, True,
+    ) + out_p["b"][0]
+    np.testing.assert_allclose(
+        np.asarray(audio), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_xfull_gradients_match_autodiff(setup_xcr):
+    """Grads through xfull w.r.t. film, harmonic-mixer params, the
+    out-mixer params (weight via pack_out_mixer's concat VJP, bias via
+    the outside-the-kernel add), and the shaper pytree match autodiff
+    through the fully unfused graph."""
+    newt, params, mixer_p, f0, phase, offsets, film_c = setup_xcr
+    n_harm, sr, hop = 101, 16000.0, 16
+
+    def loss_fused(f, mp, op, sp):
+        audio = newt_fused.bank_newt_fused_xfull(
+            phase, f0, newt_fused.pack_offsets(offsets, n_harm), f,
+            newt_fused.pack_mixer(mp), newt_fused.pack_out_mixer(op),
+            newt_fused.pack_weights_fl(sp), n_harm, sr, hop, True,
+        ) + op["b"][0]
+        return jnp.sum(audio ** 2)
+
+    def loss_ref(f, mp, op, sp):
+        from neural_waveshaping_synthesis_tpu.models.modules import (
+            dense_apply,
+        )
+
+        x = _xcr_chain(
+            newt, {"shaping_fn": sp}, mp, f0, phase, offsets, f, n_harm, sr
+        )
+        return jnp.sum(dense_apply(op, x)[..., 0] ** 2)
+
+    args = (film_c, mixer_p, params["mixer"], params["shaping_fn"])
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(*args)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*args)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_fused), jax.tree_util.tree_leaves(g_ref)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-2
+        )
+
+
+def test_model_fused_out_mixer_ab_paths_match():
+    """Model-level A/B: fuse_out_mixer=True (xfull) and False (xcr +
+    XLA mixer) agree through _fused_exciter_newt."""
+    from dataclasses import replace
+
+    from neural_waveshaping_synthesis_tpu.models.neural_waveshaping import (
+        NeuralWaveshaping,
+    )
+    from neural_waveshaping_synthesis_tpu.ops.upsample import linear_upsample
+
+    model = NeuralWaveshaping(
+        control_hop=16, fuse_exciter=True, fuse_out_mixer=True
+    )
+    params = model.init(jax.random.PRNGKey(11))
+    rng = np.random.default_rng(31)
+    b, tc = 2, 6
+    f0 = jnp.asarray(
+        (220.0 * 2.0 ** rng.uniform(0, 2, (b, tc))).astype(np.float32)
+    )
+    f0_up = linear_upsample(f0[..., None], tc * 16)[..., 0]
+    control = jnp.asarray(rng.standard_normal((b, tc, 2)).astype(np.float32))
+    embedding, _ = model.get_embedding(params, control)
+    offsets = jnp.asarray(
+        rng.uniform(-np.pi, np.pi, (101,)).astype(np.float32)
+    )
+    out_full = model._fused_exciter_newt(
+        params, f0_up, embedding, None, offsets, force=True
+    )
+    out_xcr = replace(model, fuse_out_mixer=False)._fused_exciter_newt(
+        params, f0_up, embedding, None, offsets, force=True
+    )
+    assert out_full is not None and out_xcr is not None
+    assert out_full.shape == out_xcr.shape == (b, tc * 16, 1)
+    np.testing.assert_allclose(
+        np.asarray(out_full), np.asarray(out_xcr), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_model_fused_exciter_matches_unfused():
+    """The model-level fused path (NeuralWaveshaping._fused_exciter_newt,
+    forced past its TPU gate) reproduces render_exciter + NEWT.apply
+    with the same explicit phase offsets."""
+    from neural_waveshaping_synthesis_tpu.models.neural_waveshaping import (
+        NeuralWaveshaping,
+    )
+
+    model = NeuralWaveshaping(control_hop=16)
+    params = model.init(jax.random.PRNGKey(8))
+    rng = np.random.default_rng(17)
+    b, tc = 2, 6
+    f0 = jnp.asarray(
+        (220.0 * 2.0 ** rng.uniform(0, 2, (b, tc))).astype(np.float32)
+    )
+    from neural_waveshaping_synthesis_tpu.ops.upsample import linear_upsample
+
+    f0_up = linear_upsample(f0[..., None], tc * 16)[..., 0]
+    control = jnp.asarray(rng.standard_normal((b, tc, 2)).astype(np.float32))
+    embedding, _ = model.get_embedding(params, control)
+    offsets = jnp.asarray(
+        rng.uniform(-np.pi, np.pi, (101,)).astype(np.float32)
+    )
+    fused = model._fused_exciter_newt(
+        params, f0_up, embedding, None, offsets, force=True
+    )
+    assert fused is not None
+    exciter = model.render_exciter(params, f0_up, phase_offset=offsets)
+    ref = model.newt.apply(params["newt"], exciter, embedding, fused=False)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_model_fused_exciter_bf16():
+    """bf16 compute dtype: the fused path keeps the bank/mix in f32
+    in-kernel and rounds once at the exciter (the chain rounds the bank
+    BEFORE the mix), so parity is bf16-loose by construction."""
+    from dataclasses import replace
+
+    from neural_waveshaping_synthesis_tpu.models.neural_waveshaping import (
+        NeuralWaveshaping,
+    )
+    from neural_waveshaping_synthesis_tpu.ops.upsample import linear_upsample
+
+    model = NeuralWaveshaping(control_hop=16, compute_dtype="bfloat16")
+    params = model.init(jax.random.PRNGKey(9))
+    rng = np.random.default_rng(23)
+    b, tc = 2, 6
+    f0 = jnp.asarray(
+        (220.0 * 2.0 ** rng.uniform(0, 2, (b, tc))).astype(np.float32)
+    )
+    f0_up = linear_upsample(f0[..., None], tc * 16)[..., 0]
+    control = jnp.asarray(rng.standard_normal((b, tc, 2)).astype(np.float32))
+    embedding, _ = model.get_embedding(params, control)
+    offsets = jnp.asarray(
+        rng.uniform(-np.pi, np.pi, (101,)).astype(np.float32)
+    )
+    fused = model._fused_exciter_newt(
+        params, f0_up, embedding, None, offsets, force=True
+    )
+    assert fused is not None and fused.dtype == jnp.float32
+    exciter = model.render_exciter(params, f0_up, phase_offset=offsets)
+    newt_p = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16), params["newt"]
+    )
+    ref = model.newt.apply(
+        newt_p, exciter.astype(jnp.bfloat16),
+        embedding.astype(jnp.bfloat16), fused=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref, dtype=np.float32),
+        rtol=0.1, atol=0.05,
+    )
+
+
+def test_model_apply_fuse_exciter_gate_inert_on_cpu():
+    """On the CPU backend model.apply must take the unfused path even
+    with fuse_exciter=True — outputs identical to a fuse_exciter=False
+    model."""
+    from dataclasses import replace
+
+    from neural_waveshaping_synthesis_tpu.models.generators import (
+        FIRNoiseSynth,
+    )
+    from neural_waveshaping_synthesis_tpu.models.neural_waveshaping import (
+        NeuralWaveshaping,
+    )
+
+    model = NeuralWaveshaping(
+        control_hop=16,
+        noise_synth=FIRNoiseSynth(hop_length=16),
+        fuse_exciter=True,
+        fuse_out_mixer=True,
+    )
+    params = model.init(jax.random.PRNGKey(10))
+    rng = np.random.default_rng(29)
+    f0 = jnp.asarray(
+        (220.0 + 30 * rng.random((1, 6))).astype(np.float32)
+    )
+    control = jnp.asarray(rng.standard_normal((1, 6, 2)).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+    out_a = model.apply(params, f0, control, key=key)
+    out_b = replace(model, fuse_exciter=False).apply(
+        params, f0, control, key=key
+    )
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
