@@ -70,6 +70,10 @@ class NEWT:
     # way; what changes is the in-kernel frame converts (f32 windows
     # skip the bf16->f32 casts before the lerp) and the film's bf16
     # rounding. No effect when the compute dtype is already f32.
+    # Measured (v5e 2026-08-20, time_train_step, bf16 recipe): 40.4
+    # ms/step vs the XLA chain's 39.4 — the kernel loses under bf16
+    # even with halved exciter/output HBM traffic, so the bf16 gin
+    # keeps `NEWT.fused = None` (gin/train/train_newt_bf16.gin).
     cr_film_f32: bool = False
 
     @property
